@@ -1,0 +1,26 @@
+"""gsplat_tpu: a TPU-native Gaussian Splatting framework (JAX/Pallas).
+
+A from-scratch re-design of ``arnaudstiegler/torch-gaussian-splatting-
+rasterizer`` for TPU: the reference's sequential per-gaussian torch loop
+becomes a tile-parallel rasterizer (static-shape binning + Pallas
+compositing kernels with a full custom VJP), plus the training loop,
+checkpointing, CLI and multi-chip sharding the reference lacks.
+"""
+
+from gsplat_tpu.config import MeshConfig, RasterConfig, TrainConfig
+from gsplat_tpu.models.gaussians import GaussianModel, random_model
+from gsplat_tpu.ops.camera import CameraParams
+from gsplat_tpu.render.pipeline import render, render_reference_oracle
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "CameraParams",
+    "GaussianModel",
+    "MeshConfig",
+    "RasterConfig",
+    "TrainConfig",
+    "random_model",
+    "render",
+    "render_reference_oracle",
+]

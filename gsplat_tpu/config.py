@@ -1,0 +1,85 @@
+"""Configuration dataclasses for the TPU Gaussian Splatting framework.
+
+The reference exposes its configuration as module-level constants
+(``rasterize.py:29-38``) plus six click CLI flags (``rasterize.py:308-314``).
+Here everything is collected into frozen dataclasses so that configs are
+hashable and can be passed as static arguments to ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+# --- Constants matching the reference semantics (rasterize.py:29-38) ---
+Z_FAR = 100.0
+Z_NEAR = 0.01
+GAUSSIAN_SPREAD = 3  # bbox radius = ceil(3 * max std-dev)
+BLOCK_SIZE = 16  # reference's CUDA block size used for bbox rounding
+MAX_GAUSSIAN_DENSITY = 0.99  # alpha clamp
+MIN_ALPHA = 1.0 / 255.0  # contributions below this are skipped
+FRUSTUM_NEAR_Z = 0.2  # camera-space z below which gaussians are culled
+EIGENVALUE_FLOOR = 0.1  # floor inside sqrt when computing 2D spread
+COV2D_LOWPASS = 0.3  # added to the diagonal of the projected covariance
+PERSPECTIVE_EPS = 1e-7  # epsilon added to w before the perspective divide
+EWA_TAN_CLAMP = 1.3  # view-cone clamp multiplier on tan(fov)
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterConfig:
+    """Static rasterization settings (hashable -> usable as a jit static arg).
+
+    Attributes:
+      tile_size: pixel tile edge. 32x32 = 1024 pixels = one (8,128) f32 VPU
+        tile; the TPU-native analogue of the reference's 16x16 CUDA block.
+      chunk_size: gaussians composited per inner step of the tile loop.
+      max_pairs: static capacity of the (tile, gaussian) pair buffer. The
+        renderer reports overflow; callers may re-render with a bigger value.
+      sh_degree: spherical-harmonics degree for view-dependent color (0-3).
+      early_stop_transmittance: if >0, a tile chunk-loop stops once every
+        pixel's remaining transmittance is below this. The reference has no
+        early termination (SURVEY.md C17), so parity tests use 0.0.
+      strict_parity: reproduce the reference's skip conditions exactly,
+        including skipping gaussians where *any* conic coefficient is zero
+        (rasterize.py:441).
+    """
+
+    tile_size: int = 32
+    chunk_size: int = 32
+    max_pairs: int = 1 << 20
+    sh_degree: int = 3
+    early_stop_transmittance: float = 0.0
+    strict_parity: bool = True
+    use_pallas: bool = True
+
+    @property
+    def pixels_per_tile(self) -> int:
+        return self.tile_size * self.tile_size
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training / fine-tuning settings (the reference is inference-only;
+    this covers the backward-pass workload from BASELINE.json)."""
+
+    lr_means: float = 1.6e-4
+    lr_scales: float = 5e-3
+    lr_quats: float = 1e-3
+    lr_opacity: float = 5e-2
+    lr_sh: float = 2.5e-3
+    ssim_weight: float = 0.2  # loss = (1-w)*L1 + w*(1-SSIM)
+    steps: int = 1000
+    log_every: int = 50
+    checkpoint_every: int = 500
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout. axes: data (camera batch) x tile (framebuffer)."""
+
+    data: int = 1
+    tile: int = 1
+
+    @property
+    def num_devices(self) -> int:
+        return self.data * self.tile

@@ -1,0 +1,104 @@
+"""Gradient correctness: the custom VJP of the tile rasterizer vs plain
+autodiff through the sequential oracle, and finite differences."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsplat_tpu import RasterConfig, render, render_reference_oracle
+from gsplat_tpu.models.gaussians import GaussianModel
+
+from fixtures import orbit_camera, random_splat_arrays
+
+CFG = RasterConfig(tile_size=16, chunk_size=8, max_pairs=1 << 13, use_pallas=False)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.default_rng(11)
+    arrays = random_splat_arrays(rng, 120)
+    camera = orbit_camera(0.25, width=32, height=32)
+    return arrays, camera
+
+
+def _loss_through(render_fn, camera, target):
+    def loss(model):
+        img, trans = render_fn(model, camera, CFG)
+        return jnp.mean((img - target) ** 2) + 0.1 * jnp.mean(trans)
+
+    return loss
+
+
+def test_grads_match_oracle_autodiff(scene):
+    arrays, camera = scene
+    model = GaussianModel.from_arrays(arrays)
+    target = jnp.zeros((camera.height, camera.width, 3)) + 0.25
+
+    g_tile = jax.grad(_loss_through(render, camera, target))(model)
+    g_oracle = jax.grad(_loss_through(render_reference_oracle, camera, target))(model)
+
+    for name in ["means", "log_scales", "quats", "opacity_logits", "sh"]:
+        got = np.asarray(getattr(g_tile, name))
+        want = np.asarray(getattr(g_oracle, name))
+        assert np.isfinite(got).all(), f"{name} has non-finite grads"
+        scale = np.abs(want).max() + 1e-8
+        np.testing.assert_allclose(
+            got, want, rtol=2e-3, atol=2e-5 * scale + 1e-10, err_msg=name
+        )
+
+
+def test_grads_match_finite_differences(scene):
+    """Spot-check the full pipeline VJP against central differences on a few
+    coordinates of each parameter (f64 would be ideal; tolerances account
+    for f32)."""
+    arrays, camera = scene
+    model = GaussianModel.from_arrays(arrays)
+    target = jnp.zeros((camera.height, camera.width, 3)) + 0.25
+    loss = _loss_through(render, camera, target)
+    g = jax.grad(loss)(model)
+    base_arrays = model.to_arrays()
+
+    rng = np.random.default_rng(0)
+    checked = 0
+    for name, eps in [("means", 3e-3), ("opacity_logits", 1e-2), ("sh", 1e-2)]:
+        arr = base_arrays[name]
+        flat = arr.reshape(-1)
+        gflat = np.asarray(getattr(g, name)).reshape(-1)
+        # pick coordinates with non-negligible gradient so fd is resolvable
+        candidates = np.argsort(-np.abs(gflat))[:40]
+        picks = rng.choice(candidates, size=4, replace=False)
+        for i in picks:
+            for sign in (+1.0, -1.0):
+                pert = dict(base_arrays)
+                mod = flat.copy()
+                mod[i] += sign * eps
+                pert[name] = mod.reshape(arr.shape)
+                val = float(loss(GaussianModel.from_arrays(pert)))
+                if sign > 0:
+                    f_plus = val
+                else:
+                    f_minus = val
+            fd = (f_plus - f_minus) / (2 * eps)
+            if abs(fd) < 1e-6:
+                continue
+            assert abs(fd - gflat[i]) <= 0.08 * abs(fd) + 1e-5, (
+                f"{name}[{i}]: fd={fd} vjp={gflat[i]}"
+            )
+            checked += 1
+    assert checked >= 6
+
+
+def test_transmittance_cotangent_flows(scene):
+    """Gradient through the transmittance output alone must be nonzero and
+    finite (exercises the dT_final/dalpha term)."""
+    arrays, camera = scene
+    model = GaussianModel.from_arrays(arrays)
+
+    def loss(m):
+        _, trans = render(m, camera, CFG)
+        return jnp.sum(trans)
+
+    g = jax.grad(loss)(model)
+    assert np.isfinite(np.asarray(g.opacity_logits)).all()
+    assert float(np.abs(np.asarray(g.opacity_logits)).max()) > 0.0

@@ -1,0 +1,84 @@
+"""End-to-end image parity: oracle + tile renderer vs the torch reference."""
+
+import numpy as np
+import pytest
+
+from gsplat_tpu import RasterConfig, render, render_reference_oracle
+from gsplat_tpu.models.gaussians import GaussianModel
+
+from fixtures import orbit_camera, random_splat_arrays
+
+CFG = RasterConfig(tile_size=16, chunk_size=8, max_pairs=1 << 14, use_pallas=False)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.default_rng(7)
+    arrays = random_splat_arrays(rng, 300)
+    camera = orbit_camera(0.2, width=64, height=48)
+    return arrays, camera
+
+
+def test_oracle_matches_reference(scene):
+    from reference_harness import reference_render
+
+    arrays, camera = scene
+    ref_img, ref_trans = reference_render(arrays, camera)
+    model = GaussianModel.from_arrays(arrays)
+    img, trans = render_reference_oracle(model, camera, CFG)
+    np.testing.assert_allclose(np.asarray(img), ref_img, rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(trans), ref_trans, rtol=1e-3, atol=2e-4)
+
+
+def test_tile_renderer_matches_reference(scene):
+    from reference_harness import reference_render
+
+    arrays, camera = scene
+    ref_img, ref_trans = reference_render(arrays, camera)
+    model = GaussianModel.from_arrays(arrays)
+    img, trans = render(model, camera, CFG)
+    np.testing.assert_allclose(np.asarray(img), ref_img, rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(trans), ref_trans, rtol=1e-3, atol=2e-4)
+
+
+def test_tile_renderer_matches_oracle_tightly(scene):
+    """Tile renderer vs oracle (both ours): bit-level agreement expected up
+    to f32 reduction-order differences."""
+    arrays, camera = scene
+    model = GaussianModel.from_arrays(arrays)
+    img_o, trans_o = render_reference_oracle(model, camera, CFG)
+    img_t, trans_t = render(model, camera, CFG)
+    np.testing.assert_allclose(np.asarray(img_t), np.asarray(img_o), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(trans_t), np.asarray(trans_o), rtol=1e-5, atol=1e-6)
+
+
+def test_tile_size_invariance(scene):
+    """The render must not depend on the tile/chunk decomposition."""
+    arrays, camera = scene
+    model = GaussianModel.from_arrays(arrays)
+    base = np.asarray(render(model, camera, CFG)[0])
+    for ts, cs in [(32, 16), (16, 32), (32, 64)]:
+        cfg = RasterConfig(tile_size=ts, chunk_size=cs, max_pairs=1 << 14, use_pallas=False)
+        img = np.asarray(render(model, camera, cfg)[0])
+        np.testing.assert_allclose(img, base, rtol=1e-5, atol=1e-6, err_msg=f"ts={ts} cs={cs}")
+
+
+def test_determinism(scene):
+    arrays, camera = scene
+    model = GaussianModel.from_arrays(arrays)
+    a = np.asarray(render(model, camera, CFG)[0])
+    b = np.asarray(render(model, camera, CFG)[0])
+    np.testing.assert_array_equal(a, b)
+
+
+def test_culled_scene_renders_black():
+    """All gaussians behind the camera -> empty image, full transmittance."""
+    rng = np.random.default_rng(3)
+    arrays = random_splat_arrays(rng, 50)
+    # camera: X_cam = X + (0,0,4), so z=-100 -> cam_z=-96 < 0.2 -> culled
+    arrays["means"][:, 2] = -100.0
+    camera = orbit_camera(0.0, width=32, height=32)
+    model = GaussianModel.from_arrays(arrays)
+    img, trans = render(model, camera, RasterConfig(tile_size=16, chunk_size=8, max_pairs=4096, use_pallas=False))
+    assert float(np.abs(np.asarray(img)).max()) == 0.0
+    assert float(np.asarray(trans).min()) == 1.0
