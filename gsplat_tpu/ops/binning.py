@@ -77,8 +77,18 @@ def bin_gaussians(
     height: int,
     tile_size: int,
     max_pairs: int,
+    align: int = 1,
 ) -> TileBinning:
-    """Build per-tile depth-ordered gaussian lists (static shapes)."""
+    """Build per-tile depth-ordered gaussian lists (static shapes).
+
+    With ``align > 1`` every tile's pair segment starts at a multiple of
+    ``align`` and is padded up to one with sentinel pairs. The Pallas kernels
+    require this: their chunked DMA reads/writes then never cross a tile
+    boundary (the backward writes whole per-chunk gradient slabs to HBM, and
+    un-aligned tails would race with the next tile's rows). Sentinel pairs
+    point at the zero feature row, whose empty bbox contributes exactly
+    nothing — so the kernels need no per-lane masking at all.
+    """
     n = prep.depth.shape[0]
     n_tiles_x = -(-width // tile_size)
     n_tiles_y = -(-height // tile_size)
@@ -128,6 +138,28 @@ def bin_gaussians(
     tile_start = jnp.searchsorted(sorted_tile_id, tile_idx, side="left").astype(jnp.int32)
     tile_end = jnp.searchsorted(sorted_tile_id, tile_idx, side="right").astype(jnp.int32)
     tile_count = tile_end - tile_start
+
+    if align > 1:
+        # Re-scatter pairs into per-tile segments padded to `align`.
+        aligned_count = -(-tile_count // align) * align
+        aligned_start = (jnp.cumsum(aligned_count) - aligned_count).astype(jnp.int32)
+        slot_pos = jax.lax.broadcasted_iota(jnp.int32, (max_pairs, 1), 0).squeeze(-1)
+        in_range = sorted_tile_id < num_tiles
+        tid = jnp.minimum(sorted_tile_id, num_tiles - 1)
+        new_pos = aligned_start[tid] + (slot_pos - tile_start[tid])
+        new_pos = jnp.where(in_range, new_pos, max_pairs)  # drop sentinels
+        aligned_pairs = jnp.full((max_pairs,), jnp.int32(n))
+        aligned_pairs = aligned_pairs.at[new_pos].set(pair_gaussian, mode="drop")
+        pair_gaussian = aligned_pairs
+        tile_start = aligned_start
+        # On capacity overflow the tail tiles lose (some of) their segment;
+        # clamp counts so kernels never read past the buffer.
+        tile_count = jnp.clip(
+            jnp.minimum(tile_count, max_pairs - aligned_start), 0
+        ).astype(jnp.int32)
+        num_pairs = jnp.minimum(
+            aligned_start[-1] + aligned_count[-1], max_pairs
+        ).astype(jnp.int32)
 
     return TileBinning(
         pair_gaussian=pair_gaussian.astype(jnp.int32),

@@ -59,7 +59,12 @@ def render(
     """Render one view. Returns (image [H, W, 3], transmittance [H, W])."""
     prep = preprocess(model, camera, cfg)
     bins = binning.bin_gaussians(
-        prep, camera.width, camera.height, cfg.tile_size, cfg.max_pairs
+        prep,
+        camera.width,
+        camera.height,
+        cfg.tile_size,
+        cfg.max_pairs,
+        align=cfg.chunk_size,
     )
     feat = binning.pack_features(prep)
     from gsplat_tpu.kernels.raster import rasterize_pairs

@@ -237,8 +237,10 @@ def _backward_one_tile(
 
         inv_one_minus = 1.0 / one_minus
         d_a = jnp.einsum(
-            "pk,ck->cp", g_color, rgb
-        ) * t_k - jnp.einsum("cpk,pk->cp", s_behind, g_color) * inv_one_minus
+            "pk,ck->cp", g_color, rgb, precision="highest"
+        ) * t_k - jnp.einsum(
+            "cpk,pk->cp", s_behind, g_color, precision="highest"
+        ) * inv_one_minus
         d_a = d_a - (g_trans * t_final)[None, :] * inv_one_minus
         d_a = jnp.where(valid, d_a, 0.0)
 
@@ -251,7 +253,7 @@ def _backward_one_tile(
         d_cx = jnp.sum(d_density * (-0.5 * dx * dx), axis=1)
         d_cy = jnp.sum(d_density * (-0.5 * dy * dy), axis=1)
         d_cxy = jnp.sum(d_density * (-dx * dy), axis=1)
-        d_rgb = jnp.einsum("cp,pk->ck", w, g_color)  # [C, 3]
+        d_rgb = jnp.einsum("cp,pk->ck", w, g_color, precision="highest")  # [C, 3]
 
         grads = jnp.zeros((cs, feat.shape[-1]), dtype)
         grads = grads.at[:, B.FEAT_MEAN_X].set(d_mean_x)

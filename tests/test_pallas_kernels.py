@@ -1,0 +1,92 @@
+"""Pallas kernel correctness in interpreter mode (CPU): forward and backward
+kernels vs the pure-jnp tile implementations on identical binned inputs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsplat_tpu import RasterConfig
+from gsplat_tpu.models.gaussians import GaussianModel
+from gsplat_tpu.ops import binning
+from gsplat_tpu.render.pipeline import preprocess
+from gsplat_tpu.render.tile_jnp import backward_tiles, forward_tiles
+
+from fixtures import orbit_camera, random_splat_arrays
+
+CFG = RasterConfig(tile_size=16, chunk_size=8, max_pairs=4096, use_pallas=True)
+WIDTH, HEIGHT = 48, 32
+
+
+@pytest.fixture(scope="module")
+def binned():
+    rng = np.random.default_rng(5)
+    arrays = random_splat_arrays(rng, 150)
+    camera = orbit_camera(0.15, width=WIDTH, height=HEIGHT)
+    model = GaussianModel.from_arrays(arrays)
+    prep = preprocess(model, camera, CFG)
+    bins = binning.bin_gaussians(
+        prep, WIDTH, HEIGHT, CFG.tile_size, CFG.max_pairs, align=CFG.chunk_size
+    )
+    feat = binning.pack_features(prep)
+    return feat, bins
+
+
+def test_forward_kernel_matches_jnp(binned):
+    from gsplat_tpu.kernels.raster_fwd import forward_tiles_pallas
+
+    feat, bins = binned
+    img_j, trans_j = forward_tiles(
+        feat, bins.pair_gaussian, bins.tile_start, bins.tile_count, WIDTH, HEIGHT, CFG
+    )
+    img_p, trans_p = forward_tiles_pallas(
+        feat, bins.pair_gaussian, bins.tile_start, bins.tile_count,
+        WIDTH, HEIGHT, CFG, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_j), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(trans_p), np.asarray(trans_j), rtol=1e-5, atol=1e-6)
+
+
+def test_backward_kernel_matches_jnp(binned):
+    from gsplat_tpu.kernels.raster_bwd import backward_tiles_pallas
+
+    feat, bins = binned
+    image, trans = forward_tiles(
+        feat, bins.pair_gaussian, bins.tile_start, bins.tile_count, WIDTH, HEIGHT, CFG
+    )
+    key = jax.random.key(0)
+    g_image = jax.random.normal(key, image.shape, image.dtype)
+    g_trans = jax.random.normal(jax.random.key(1), trans.shape, trans.dtype)
+
+    d_jnp = backward_tiles(
+        feat, bins.pair_gaussian, bins.tile_start, bins.tile_count,
+        image, trans, g_image, g_trans, WIDTH, HEIGHT, CFG,
+    )
+    d_pallas = backward_tiles_pallas(
+        feat, bins.pair_gaussian, bins.tile_start, bins.tile_count,
+        image, trans, g_image, g_trans, WIDTH, HEIGHT, CFG, interpret=True,
+    )
+    got = np.asarray(d_pallas)[:-1]  # drop the padding row
+    want = np.asarray(d_jnp)[:-1]
+    assert np.isfinite(got).all()
+    scale = np.abs(want).max() + 1e-8
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6 * scale)
+
+
+def test_forward_kernel_early_stop(binned):
+    """Early termination must not visibly change a converged image."""
+    from gsplat_tpu.kernels.raster_fwd import forward_tiles_pallas
+
+    feat, bins = binned
+    cfg_es = RasterConfig(
+        tile_size=16, chunk_size=8, max_pairs=4096, early_stop_transmittance=1e-4
+    )
+    img_ref, _ = forward_tiles_pallas(
+        feat, bins.pair_gaussian, bins.tile_start, bins.tile_count,
+        WIDTH, HEIGHT, CFG, interpret=True,
+    )
+    img_es, _ = forward_tiles_pallas(
+        feat, bins.pair_gaussian, bins.tile_start, bins.tile_count,
+        WIDTH, HEIGHT, cfg_es, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(img_es), np.asarray(img_ref), atol=2e-4)
