@@ -1,13 +1,18 @@
 """Differentiable tile rasterization: custom_vjp over the kernel pair.
 
-``rasterize_pairs`` is the single entry point every renderer uses. It
-dispatches between the Pallas TPU kernels (production) and the pure-jnp
-tile implementations (CPU/tests) and defines the custom VJP so gradients
-flow to the packed per-gaussian features (means, conics, opacity, rgb) —
-from which plain autodiff continues through the preprocess to the raw
-parameters (means/log-scales/quats/opacity-logits/SH), exactly the gradient
-surface BASELINE.json requires. Binning indices are non-differentiable (as
-in the original CUDA design: no gradient through tile assignment).
+``rasterize_tiles`` is the single entry point every renderer uses. It works
+at tile level (explicit global ``tile_ids``, per-tile output slabs) so a
+shard_map shard can rasterize its slice of the framebuffer; image assembly
+(``render.tile_jnp.tiles_to_image``) happens outside and is differentiated
+by plain autodiff.
+
+Dispatch: Pallas kernels compiled on TPU, the pure-jnp tile implementations
+elsewhere (CPU tests / debugging). The custom VJP routes gradients to the
+packed per-gaussian features (means, conics, opacity, rgb) — from which
+autodiff continues through the preprocess to the raw parameters
+(means/log-scales/quats/opacity-logits/SH), exactly the gradient surface
+BASELINE.json requires. Binning indices are non-differentiable (as in the
+original CUDA design: no gradient flows through tile assignment).
 """
 
 from __future__ import annotations
@@ -26,84 +31,90 @@ def _use_pallas(cfg: RasterConfig) -> bool:
     return cfg.use_pallas and jax.default_backend() == "tpu"
 
 
-def _forward_impl(feat, pair_gaussian, tile_start, tile_count, width, height, cfg):
+def _forward_impl(feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles_x, cfg):
     if _use_pallas(cfg):
         from gsplat_tpu.kernels.raster_fwd import forward_tiles_pallas
 
         return forward_tiles_pallas(
-            feat, pair_gaussian, tile_start, tile_count, width, height, cfg
+            feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles_x, cfg
         )
-    from gsplat_tpu.render.tile_jnp import forward_tiles
+    from gsplat_tpu.render.tile_jnp import forward_tiles_jnp
 
-    return forward_tiles(feat, pair_gaussian, tile_start, tile_count, width, height, cfg)
+    return forward_tiles_jnp(
+        feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles_x, cfg
+    )
 
 
 def _backward_impl(
-    feat, pair_gaussian, tile_start, tile_count, image, trans, g_image, g_trans,
-    width, height, cfg,
+    feat, pair_gaussian, tile_start, tile_count, tile_ids,
+    color_tiles, trans_tiles, g_color, g_trans, n_tiles_x, cfg,
 ):
     if _use_pallas(cfg):
         from gsplat_tpu.kernels.raster_bwd import backward_tiles_pallas
 
         return backward_tiles_pallas(
-            feat, pair_gaussian, tile_start, tile_count, image, trans,
-            g_image, g_trans, width, height, cfg,
+            feat, pair_gaussian, tile_start, tile_count, tile_ids,
+            color_tiles, trans_tiles, g_color, g_trans, n_tiles_x, cfg,
         )
-    from gsplat_tpu.render.tile_jnp import backward_tiles
+    from gsplat_tpu.render.tile_jnp import backward_tiles_jnp
 
-    return backward_tiles(
-        feat, pair_gaussian, tile_start, tile_count, image, trans,
-        g_image, g_trans, width, height, cfg,
+    return backward_tiles_jnp(
+        feat, pair_gaussian, tile_start, tile_count, tile_ids,
+        color_tiles, trans_tiles, g_color, g_trans, n_tiles_x, cfg,
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def rasterize_pairs(
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def rasterize_tiles(
     feat: jnp.ndarray,
     pair_gaussian: jnp.ndarray,
     tile_start: jnp.ndarray,
     tile_count: jnp.ndarray,
-    width: int,
-    height: int,
+    tile_ids: jnp.ndarray,
+    n_tiles_x: int,
     cfg: RasterConfig,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Composite binned gaussians into an image.
+    """Composite binned gaussians into per-tile pixel slabs.
 
     Args:
       feat: ``[N+1, 16]`` packed per-gaussian features (ops.binning).
-      pair_gaussian / tile_start / tile_count: binning result.
-      width, height, cfg: static.
+      pair_gaussian / tile_start / tile_count: binning result (chunk-aligned).
+      tile_ids: ``[T]`` global tile indices to rasterize.
+      n_tiles_x, cfg: static.
     Returns:
-      (image ``[H, W, 3]``, transmittance ``[H, W]``).
+      (color ``[T, npix, 3]``, transmittance ``[T, npix]``).
     """
-    return _forward_impl(feat, pair_gaussian, tile_start, tile_count, width, height, cfg)
-
-
-def _fwd(feat, pair_gaussian, tile_start, tile_count, width, height, cfg):
-    image, trans = _forward_impl(
-        feat, pair_gaussian, tile_start, tile_count, width, height, cfg
+    return _forward_impl(
+        feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles_x, cfg
     )
-    residuals = (feat, pair_gaussian, tile_start, tile_count, image, trans)
-    return (image, trans), residuals
+
+
+def _fwd(feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles_x, cfg):
+    color, trans = _forward_impl(
+        feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles_x, cfg
+    )
+    residuals = (feat, pair_gaussian, tile_start, tile_count, tile_ids, color, trans)
+    return (color, trans), residuals
 
 
 def _int_zero_cotangent(x):
     return np.zeros(x.shape, dtype=jax.dtypes.float0)
 
 
-def _bwd(width, height, cfg, residuals, cotangents):
-    feat, pair_gaussian, tile_start, tile_count, image, trans = residuals
-    g_image, g_trans = cotangents
+def _bwd(n_tiles_x, cfg, residuals, cotangents):
+    feat, pair_gaussian, tile_start, tile_count, tile_ids, color, trans = residuals
+    g_color, g_trans = cotangents
     d_feat = _backward_impl(
-        feat, pair_gaussian, tile_start, tile_count, image, trans,
-        g_image, g_trans, width, height, cfg,
+        feat, pair_gaussian, tile_start, tile_count, tile_ids,
+        color, trans, g_color, g_trans, n_tiles_x, cfg,
     )
     return (
         d_feat,
         _int_zero_cotangent(pair_gaussian),
         _int_zero_cotangent(tile_start),
         _int_zero_cotangent(tile_count),
+        _int_zero_cotangent(tile_ids),
     )
 
 
-rasterize_pairs.defvjp(_fwd, _bwd)
+rasterize_tiles.defvjp(_fwd, _bwd)

@@ -42,6 +42,7 @@ def _bwd_kernel(
     # scalar prefetch
     tile_start_ref,
     tile_count_ref,
+    tile_ids_ref,
     # inputs
     feat_hbm,
     fwd_out_ref,  # [1, 8, npix]: rows 0-2 C_total, row 3 T_final
@@ -62,12 +63,13 @@ def _bwd_kernel(
     t = pl.program_id(0)
     start = tile_start_ref[t]
     count = tile_count_ref[t]
+    tid = tile_ids_ref[t]  # global tile index (differs from t under sharding)
     cs = chunk_size
     npix = tile_size * tile_size
     nchunks = (count + cs - 1) // cs
 
-    tx = t % n_tiles_x
-    ty = t // n_tiles_x
+    tx = tid % n_tiles_x
+    ty = tid // n_tiles_x
     lin = jax.lax.broadcasted_iota(jnp.int32, (1, npix), 1)
     px = (tx * tile_size + lin % tile_size).astype(jnp.float32)
     py = (ty * tile_size + lin // tile_size).astype(jnp.float32)
@@ -187,31 +189,31 @@ def _bwd_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "cfg", "interpret")
+    jax.jit, static_argnames=("n_tiles_x", "cfg", "interpret")
 )
 def backward_tiles_pallas(
     feat: jnp.ndarray,
     pair_gaussian: jnp.ndarray,
     tile_start: jnp.ndarray,
     tile_count: jnp.ndarray,
-    image: jnp.ndarray,
-    trans: jnp.ndarray,
-    g_image: jnp.ndarray,
+    tile_ids: jnp.ndarray,
+    color_tiles: jnp.ndarray,
+    trans_tiles: jnp.ndarray,
+    g_color: jnp.ndarray,
     g_trans: jnp.ndarray,
-    width: int,
-    height: int,
+    n_tiles_x: int,
     cfg: RasterConfig,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Gradient of the tile compositor w.r.t. ``feat`` ([N+1, 16])."""
-    from gsplat_tpu.render.tile_jnp import image_to_tiles
+    """Gradient of the tile compositor w.r.t. ``feat`` ([N+1, 16]).
 
+    Per-tile inputs: color_tiles [T, npix, 3], trans_tiles [T, npix] (the
+    forward outputs) and their cotangents g_color / g_trans, same shapes.
+    """
     ts = cfg.tile_size
     cs = cfg.chunk_size
     npix = ts * ts
-    n_tiles_x = -(-width // ts)
-    n_tiles_y = -(-height // ts)
-    num_tiles = n_tiles_x * n_tiles_y
+    num_tiles = tile_ids.shape[0]
     p_pad = pair_gaussian.shape[0] + cs
 
     pair_feat = jnp.concatenate(
@@ -221,25 +223,25 @@ def backward_tiles_pallas(
 
     f32 = jnp.float32
     # Pack per-tile forward outputs and cotangents as [T, 8, npix].
-    def pack(rgb_img, scalar_img):
-        tiles_rgb = jnp.moveaxis(image_to_tiles(rgb_img.astype(f32), ts), 2, 1)  # [T,3,npix]
-        tiles_s = image_to_tiles(scalar_img.astype(f32), ts)[:, None, :]  # [T,1,npix]
+    def pack(rgb_tiles, scalar_tiles):
+        rgb = jnp.moveaxis(rgb_tiles.astype(f32), 2, 1)  # [T, 3, npix]
+        s = scalar_tiles.astype(f32)[:, None, :]  # [T, 1, npix]
         pad = jnp.zeros((num_tiles, 4, npix), f32)
-        return jnp.concatenate([tiles_rgb, tiles_s, pad], axis=1)
+        return jnp.concatenate([rgb, s, pad], axis=1)
 
-    fwd_out = pack(image, trans)
-    g_out = pack(g_image, g_trans)
+    fwd_out = pack(color_tiles, trans_tiles)
+    g_out = pack(g_color, g_trans)
 
     kernel = functools.partial(
         _bwd_kernel, n_tiles_x=n_tiles_x, tile_size=ts, chunk_size=cs
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 8, npix), lambda t, s, c: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, npix), lambda t, s, c: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, npix), lambda t, s, c, i: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, npix), lambda t, s, c, i: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
@@ -262,7 +264,7 @@ def backward_tiles_pallas(
             + num_tiles * npix * 32,
             transcendentals=int(pair_gaussian.shape[0]) * npix,
         ),
-    )(tile_start, tile_count, pair_feat, fwd_out, g_out)
+    )(tile_start, tile_count, tile_ids, pair_feat, fwd_out, g_out)
 
     # Rows never written by any tile (inter-segment gaps / capacity tail) may
     # hold garbage; their pair index is the sentinel N, so they fold into the

@@ -63,6 +63,7 @@ def _fwd_kernel(
     # scalar prefetch
     tile_start_ref,
     tile_count_ref,
+    tile_ids_ref,
     # inputs
     feat_hbm,
     # outputs
@@ -80,12 +81,13 @@ def _fwd_kernel(
     t = pl.program_id(0)
     start = tile_start_ref[t]
     count = tile_count_ref[t]
+    tid = tile_ids_ref[t]  # global tile index (differs from t under sharding)
     cs = chunk_size
     npix = tile_size * tile_size
     nchunks = (count + cs - 1) // cs
 
-    tx = t % n_tiles_x
-    ty = t // n_tiles_x
+    tx = tid % n_tiles_x
+    ty = tid // n_tiles_x
     lin = jax.lax.broadcasted_iota(jnp.int32, (1, npix), 1)
     px = (tx * tile_size + lin % tile_size).astype(jnp.float32)
     py = (ty * tile_size + lin // tile_size).astype(jnp.float32)
@@ -151,29 +153,25 @@ def _fwd_kernel(
     out_ref[0] = accum[:]
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "cfg", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_tiles_x", "cfg", "interpret"))
 def forward_tiles_pallas(
     feat: jnp.ndarray,
     pair_gaussian: jnp.ndarray,
     tile_start: jnp.ndarray,
     tile_count: jnp.ndarray,
-    width: int,
-    height: int,
+    tile_ids: jnp.ndarray,
+    n_tiles_x: int,
     cfg: RasterConfig,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Render all tiles with the Pallas kernel.
+    """Rasterize the given tiles with the Pallas kernel.
 
-    Returns (image [H, W, 3], transmittance [H, W]).
+    Returns (color [T, npix, 3], transmittance [T, npix]).
     """
-    from gsplat_tpu.render.tile_jnp import tiles_to_image
-
     ts = cfg.tile_size
     cs = cfg.chunk_size
     npix = ts * ts
-    n_tiles_x = -(-width // ts)
-    n_tiles_y = -(-height // ts)
-    num_tiles = n_tiles_x * n_tiles_y
+    num_tiles = tile_ids.shape[0]
 
     # Gather per-pair features once (XLA gather); pad one chunk of zero rows
     # so the last DMA of the last tile never reads out of bounds, and pad the
@@ -191,11 +189,11 @@ def forward_tiles_pallas(
         early_stop=cfg.early_stop_transmittance,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, 8, npix), lambda t, s, c: (t, 0, 0), memory_space=pltpu.VMEM
+            (1, 8, npix), lambda t, s, c, i: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2, cs, 128), jnp.float32),
@@ -213,11 +211,8 @@ def forward_tiles_pallas(
             bytes_accessed=int(pair_gaussian.shape[0]) * 64 + num_tiles * npix * 16,
             transcendentals=int(pair_gaussian.shape[0]) * npix,
         ),
-    )(tile_start, tile_count, pair_feat)
+    )(tile_start, tile_count, tile_ids, pair_feat)
 
     color = jnp.moveaxis(out[:, 0:3, :], 1, 2)  # [T, npix, 3]
     trans = out[:, 3, :]  # [T, npix]
-    return (
-        tiles_to_image(color, width, height, ts).astype(feat.dtype),
-        tiles_to_image(trans, width, height, ts).astype(feat.dtype),
-    )
+    return color.astype(feat.dtype), trans.astype(feat.dtype)

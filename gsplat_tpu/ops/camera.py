@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -128,6 +128,40 @@ class CameraParams:
             qvec=tuple(np.asarray(image.qvec, dtype=np.float64).tolist()),
             tvec=tuple(np.asarray(image.tvec, dtype=np.float64).tolist()),
         )
+
+
+class CameraArrays(NamedTuple):
+    """Traced per-view camera quantities (a pytree, unlike CameraParams).
+
+    Use this form wherever cameras are data rather than configuration:
+    batched/video rendering (vmap/lax.map over stacked leaves), shard_map
+    train steps, and anywhere a camera must cross a jit boundary without
+    retracing. Width/height stay static (they fix array shapes).
+    """
+
+    w2c_t: jnp.ndarray  # [4, 4]
+    full_proj_t: jnp.ndarray  # [4, 4]
+    cam_center: jnp.ndarray  # [3]
+    tan_fov: jnp.ndarray  # [2] (tan of half fov x, y)
+    focal: jnp.ndarray  # [2] (fx, fy)
+
+    @staticmethod
+    def from_params(camera: "CameraParams", dtype=jnp.float32) -> "CameraArrays":
+        w2c_t, full_proj_t = camera.matrices(dtype)
+        return CameraArrays(
+            w2c_t=w2c_t,
+            full_proj_t=full_proj_t,
+            cam_center=camera_center(w2c_t),
+            tan_fov=jnp.asarray([camera.tan_fov_x, camera.tan_fov_y], dtype),
+            focal=jnp.asarray([camera.focal_x, camera.focal_y], dtype),
+        )
+
+    @staticmethod
+    def stack(cameras) -> "CameraArrays":
+        """Stack a sequence of CameraArrays into batched leaves [B, ...]."""
+        import jax
+
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *cameras)
 
 
 def camera_center(world_to_camera_t: jnp.ndarray) -> jnp.ndarray:

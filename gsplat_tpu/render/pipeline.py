@@ -1,54 +1,101 @@
-"""End-to-end single-view render pipeline.
+"""End-to-end render pipeline.
 
 Mirrors the reference driver's compute sequence (rasterize.py:353-452) as a
 single jitted function: activations -> camera matrices -> SH color ->
-projection/EWA preprocess -> tile binning -> tile rasterization.
+projection/EWA preprocess -> tile binning -> tile rasterization -> image
+assembly. Two camera forms:
+
+  * :func:`render` takes a static :class:`CameraParams` (one compile per
+    camera pose — fine for interactive use);
+  * :func:`render_traced` takes a :class:`CameraArrays` pytree, so camera
+    pose is *data*: one compile serves every pose. :func:`render_batch`
+    maps it over a stacked batch (the camera-orbit video workload).
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
 from gsplat_tpu.config import RasterConfig
+from gsplat_tpu.kernels.raster import rasterize_tiles
 from gsplat_tpu.models.gaussians import GaussianModel
 from gsplat_tpu.ops import binning
-from gsplat_tpu.ops.camera import CameraParams, camera_center
+from gsplat_tpu.ops.camera import CameraArrays, CameraParams
 from gsplat_tpu.ops.compositing import render_oracle
 from gsplat_tpu.ops.projection import Preprocessed, preprocess_gaussians
 from gsplat_tpu.ops.sh import sh_to_rgb
+from gsplat_tpu.render.tile_jnp import tiles_to_image
 
 
-class RenderInputs(NamedTuple):
-    """Traced per-view quantities derived from a CameraParams (static)."""
-
-    w2c_t: jnp.ndarray
-    full_proj_t: jnp.ndarray
-
-
-def preprocess(
-    model: GaussianModel, camera: CameraParams, cfg: RasterConfig
+def preprocess_traced(
+    model: GaussianModel,
+    cam: CameraArrays,
+    width: int,
+    height: int,
+    cfg: RasterConfig,
 ) -> Preprocessed:
-    """Per-gaussian preprocess for one camera (rasterize.py:353-425)."""
-    w2c_t, full_proj_t = camera.matrices(dtype=model.means.dtype)
-    rgb = sh_to_rgb(model.means, model.sh, camera_center(w2c_t), degree=cfg.sh_degree)
+    """Per-gaussian preprocess for one (traced) camera (rasterize.py:353-425)."""
+    rgb = sh_to_rgb(model.means, model.sh, cam.cam_center, degree=cfg.sh_degree)
     return preprocess_gaussians(
         means=model.means,
         cov3d=model.covariances(),
         opacity=model.opacity(),
         rgb=rgb,
-        w2c_t=w2c_t,
-        full_proj_t=full_proj_t,
-        tan_fov_x=camera.tan_fov_x,
-        tan_fov_y=camera.tan_fov_y,
-        focal_x=camera.focal_x,
-        focal_y=camera.focal_y,
-        width=camera.width,
-        height=camera.height,
+        w2c_t=cam.w2c_t,
+        full_proj_t=cam.full_proj_t,
+        tan_fov_x=cam.tan_fov[0],
+        tan_fov_y=cam.tan_fov[1],
+        focal_x=cam.focal[0],
+        focal_y=cam.focal[1],
+        width=width,
+        height=height,
         strict_parity=cfg.strict_parity,
+    )
+
+
+def preprocess(
+    model: GaussianModel, camera: CameraParams, cfg: RasterConfig
+) -> Preprocessed:
+    return preprocess_traced(
+        model,
+        CameraArrays.from_params(camera, dtype=model.means.dtype),
+        camera.width,
+        camera.height,
+        cfg,
+    )
+
+
+@partial(jax.jit, static_argnames=("width", "height", "cfg"))
+def render_traced(
+    model: GaussianModel,
+    cam: CameraArrays,
+    width: int,
+    height: int,
+    cfg: RasterConfig = RasterConfig(),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Render one view from traced camera arrays.
+
+    Returns (image [H, W, 3], transmittance [H, W]).
+    """
+    prep = preprocess_traced(model, cam, width, height, cfg)
+    bins = binning.bin_gaussians(
+        prep, width, height, cfg.tile_size, cfg.max_pairs, align=cfg.chunk_size
+    )
+    feat = binning.pack_features(prep)
+    n_tiles_x = -(-width // cfg.tile_size)
+    n_tiles_y = -(-height // cfg.tile_size)
+    tile_ids = jnp.arange(n_tiles_x * n_tiles_y, dtype=jnp.int32)
+    color, trans = rasterize_tiles(
+        feat, bins.pair_gaussian, bins.tile_start, bins.tile_count,
+        tile_ids, n_tiles_x, cfg,
+    )
+    return (
+        tiles_to_image(color, width, height, cfg.tile_size),
+        tiles_to_image(trans, width, height, cfg.tile_size),
     )
 
 
@@ -57,26 +104,26 @@ def render(
     model: GaussianModel, camera: CameraParams, cfg: RasterConfig = RasterConfig()
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Render one view. Returns (image [H, W, 3], transmittance [H, W])."""
-    prep = preprocess(model, camera, cfg)
-    bins = binning.bin_gaussians(
-        prep,
-        camera.width,
-        camera.height,
-        cfg.tile_size,
-        cfg.max_pairs,
-        align=cfg.chunk_size,
-    )
-    feat = binning.pack_features(prep)
-    from gsplat_tpu.kernels.raster import rasterize_pairs
+    cam = CameraArrays.from_params(camera, dtype=model.means.dtype)
+    return render_traced(model, cam, camera.width, camera.height, cfg)
 
-    return rasterize_pairs(
-        feat,
-        bins.pair_gaussian,
-        bins.tile_start,
-        bins.tile_count,
-        width=camera.width,
-        height=camera.height,
-        cfg=cfg,
+
+@partial(jax.jit, static_argnames=("width", "height", "cfg"))
+def render_batch(
+    model: GaussianModel,
+    cams: CameraArrays,
+    width: int,
+    height: int,
+    cfg: RasterConfig = RasterConfig(),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Render a batch of views (stacked CameraArrays leaves, [B, ...]).
+
+    Sequential over cameras (lax.map) — each frame already fills the chip;
+    batching across frames is done with the mesh "data" axis instead
+    (gsplat_tpu.parallel). Returns ([B, H, W, 3], [B, H, W]).
+    """
+    return jax.lax.map(
+        lambda c: render_traced(model, c, width, height, cfg), cams
     )
 
 
@@ -84,6 +131,6 @@ def render(
 def render_reference_oracle(
     model: GaussianModel, camera: CameraParams, cfg: RasterConfig = RasterConfig()
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Slow exact-semantics render (test oracle; O(N*H*W))."""
+    """Slow exact-semantics sequential render (test oracle; O(N*H*W))."""
     prep = preprocess(model, camera, cfg)
     return render_oracle(prep, camera.width, camera.height)

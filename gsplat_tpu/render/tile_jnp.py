@@ -7,12 +7,16 @@ module is the same algorithm expressed with ``vmap`` over tiles and a
   * an independent implementation to cross-check the Pallas kernels,
   * documentation of the compositing algorithm in plain jnp.
 
+Everything here works at *tile level*: functions consume explicit global
+``tile_ids`` (so a shard_map shard can rasterize its slice of tiles) and
+produce per-tile pixel slabs; ``tiles_to_image``/``image_to_tiles`` convert
+to framebuffer layout.
+
 Algorithm per tile (replacing the reference's sequential per-gaussian loop,
 rasterize.py:436-452): walk the tile's depth-ordered pair list in chunks of
 ``chunk_size``; for each chunk compute every pair's alpha at every tile pixel
-(vectorized [chunk, pixels]), turn the front-to-back recurrence into an
-exclusive cumulative product of (1 - alpha) along the chunk axis, and
-accumulate color with one [pixels, chunk] x [chunk, 3] matmul (MXU work).
+(vectorized [chunk, pixels]) and turn the front-to-back recurrence into an
+exclusive cumulative product of (1 - alpha) along the chunk axis.
 """
 
 from __future__ import annotations
@@ -28,16 +32,45 @@ from gsplat_tpu.ops import binning as B
 from gsplat_tpu.ops.compositing import gaussian_alpha
 
 
-def _chunk_alphas(feats: jnp.ndarray, lane_mask: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray) -> jnp.ndarray:
-    """Effective alpha of a chunk of pairs at each tile pixel.
+def tiles_to_image(
+    per_tile: jnp.ndarray, width: int, height: int, tile_size: int
+) -> jnp.ndarray:
+    """[T, tile_px, C...] -> [H, W, C...] (crops the tile padding)."""
+    ts = tile_size
+    n_tiles_x = -(-width // ts)
+    n_tiles_y = -(-height // ts)
+    trailing = per_tile.shape[2:]
+    x = per_tile.reshape(n_tiles_y, n_tiles_x, ts, ts, *trailing)
+    x = jnp.moveaxis(x, 2, 1).reshape(n_tiles_y * ts, n_tiles_x * ts, *trailing)
+    return x[:height, :width]
 
-    Args:
-      feats: ``[C, 16]`` packed features (see ops.binning.pack_features).
-      lane_mask: ``[C]`` bool, False for slots past the tile's pair count.
-      px, py: ``[P]`` pixel coordinates.
-    Returns:
-      ``[C, P]`` effective alpha (0 where masked / outside bbox / invalid).
-    """
+
+def image_to_tiles(image: jnp.ndarray, tile_size: int) -> jnp.ndarray:
+    """[H, W, C...] -> [T, tile_px, C...] (zero-pads to tile multiples)."""
+    ts = tile_size
+    h, w = image.shape[:2]
+    n_tiles_x = -(-w // ts)
+    n_tiles_y = -(-h // ts)
+    pad = [(0, n_tiles_y * ts - h), (0, n_tiles_x * ts - w)] + [(0, 0)] * (image.ndim - 2)
+    x = jnp.pad(image, pad)
+    x = x.reshape(n_tiles_y, ts, n_tiles_x, ts, *image.shape[2:])
+    x = jnp.moveaxis(x, 1, 2).reshape(n_tiles_y * n_tiles_x, ts * ts, *image.shape[2:])
+    return x
+
+
+def _tile_pixel_coords(tile_id, n_tiles_x: int, tile_size: int, dtype):
+    """Row-major pixel coordinates of one tile: ([npix], [npix])."""
+    ts = tile_size
+    tx = tile_id % n_tiles_x
+    ty = tile_id // n_tiles_x
+    lin = jnp.arange(ts * ts, dtype=jnp.int32)
+    px = (tx * ts + lin % ts).astype(dtype)
+    py = (ty * ts + lin // ts).astype(dtype)
+    return px, py
+
+
+def _chunk_alphas(feats, lane_mask, px, py) -> jnp.ndarray:
+    """Effective alpha of a chunk of pairs at each tile pixel: [C, P]."""
     fcol = lambda i: feats[:, i][:, None]  # [C, 1]
     alpha, valid = gaussian_alpha(
         px[None, :], py[None, :],
@@ -54,26 +87,12 @@ def _chunk_alphas(feats: jnp.ndarray, lane_mask: jnp.ndarray, px: jnp.ndarray, p
     return jnp.where(valid & inside & lane_mask[:, None], alpha, 0.0)
 
 
-def _render_one_tile(
-    tile_id: jnp.ndarray,
-    feat: jnp.ndarray,
-    pair_gaussian: jnp.ndarray,
-    start: jnp.ndarray,
-    count: jnp.ndarray,
-    n_tiles_x: int,
-    cfg: RasterConfig,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _render_one_tile(tile_id, feat, pair_gaussian, start, count, n_tiles_x, cfg):
     """Composite one tile. Returns (color [P, 3], transmittance [P])."""
-    ts = cfg.tile_size
     cs = cfg.chunk_size
-    npix = ts * ts
+    npix = cfg.pixels_per_tile
     dtype = feat.dtype
-
-    tx = tile_id % n_tiles_x
-    ty = tile_id // n_tiles_x
-    lin = jnp.arange(npix, dtype=jnp.int32)
-    px = (tx * ts + lin % ts).astype(dtype)
-    py = (ty * ts + lin // ts).astype(dtype)
+    px, py = _tile_pixel_coords(tile_id, n_tiles_x, cfg.tile_size, dtype)
     lane = jnp.arange(cs, dtype=jnp.int32)
 
     def cond(state):
@@ -104,75 +123,28 @@ def _render_one_tile(
     return color, trans
 
 
-def tiles_to_image(
-    per_tile: jnp.ndarray, width: int, height: int, tile_size: int
-) -> jnp.ndarray:
-    """[T, tile_px, C...] -> [H, W, C...] (crops the tile padding)."""
-    ts = tile_size
-    n_tiles_x = -(-width // ts)
-    n_tiles_y = -(-height // ts)
-    trailing = per_tile.shape[2:]
-    x = per_tile.reshape(n_tiles_y, n_tiles_x, ts, ts, *trailing)
-    x = jnp.moveaxis(x, 2, 1).reshape(n_tiles_y * ts, n_tiles_x * ts, *trailing)
-    return x[:height, :width]
-
-
-def image_to_tiles(image: jnp.ndarray, tile_size: int) -> jnp.ndarray:
-    """[H, W, C...] -> [T, tile_px, C...] (zero-pads to tile multiples)."""
-    ts = tile_size
-    h, w = image.shape[:2]
-    n_tiles_x = -(-w // ts)
-    n_tiles_y = -(-h // ts)
-    pad = [(0, n_tiles_y * ts - h), (0, n_tiles_x * ts - w)] + [(0, 0)] * (image.ndim - 2)
-    x = jnp.pad(image, pad)
-    x = x.reshape(n_tiles_y, ts, n_tiles_x, ts, *image.shape[2:])
-    x = jnp.moveaxis(x, 1, 2).reshape(n_tiles_y * n_tiles_x, ts * ts, *image.shape[2:])
-    return x
-
-
-@partial(jax.jit, static_argnames=("width", "height", "cfg"))
-def forward_tiles(
+@partial(jax.jit, static_argnames=("n_tiles_x", "cfg"))
+def forward_tiles_jnp(
     feat: jnp.ndarray,
     pair_gaussian: jnp.ndarray,
     tile_start: jnp.ndarray,
     tile_count: jnp.ndarray,
-    width: int,
-    height: int,
+    tile_ids: jnp.ndarray,
+    n_tiles_x: int,
     cfg: RasterConfig,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Render all tiles. Returns (image [H, W, 3], transmittance [H, W])."""
-    ts = cfg.tile_size
-    n_tiles_x = -(-width // ts)
-    n_tiles_y = -(-height // ts)
-    num_tiles = n_tiles_x * n_tiles_y
-    # Pad so a chunk starting at the last pair never reads out of bounds.
+    """Rasterize the given tiles. Returns (color [T, npix, 3], trans [T, npix])."""
     pad = jnp.full((cfg.chunk_size,), feat.shape[0] - 1, dtype=pair_gaussian.dtype)
     pair_gaussian = jnp.concatenate([pair_gaussian, pad])
-
-    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    color, trans = jax.vmap(
+    return jax.vmap(
         lambda t, s, c: _render_one_tile(t, feat, pair_gaussian, s, c, n_tiles_x, cfg)
     )(tile_ids, tile_start, tile_count)
 
-    return (
-        tiles_to_image(color, width, height, ts),
-        tiles_to_image(trans, width, height, ts),
-    )
-
 
 def _backward_one_tile(
-    tile_id: jnp.ndarray,
-    feat: jnp.ndarray,
-    pair_gaussian: jnp.ndarray,
-    start: jnp.ndarray,
-    count: jnp.ndarray,
-    c_total: jnp.ndarray,  # [P, 3] final composited color of this tile
-    t_final: jnp.ndarray,  # [P] final transmittance of this tile
-    g_color: jnp.ndarray,  # [P, 3] cotangent of the image
-    g_trans: jnp.ndarray,  # [P] cotangent of the transmittance
-    n_tiles_x: int,
-    max_chunks: int,
-    cfg: RasterConfig,
+    tile_id, feat, pair_gaussian, start, count,
+    c_total, t_final, g_color, g_trans,
+    n_tiles_x: int, max_chunks: int, cfg: RasterConfig,
 ):
     """Gradient walk for one tile, *front-to-back* (same direction and
     numerics as the forward).
@@ -187,16 +159,10 @@ def _backward_one_tile(
 
     Returns (pair_indices [max_chunks*C], pair_grads [max_chunks*C, 16]).
     """
-    ts = cfg.tile_size
     cs = cfg.chunk_size
-    npix = ts * ts
+    npix = cfg.pixels_per_tile
     dtype = feat.dtype
-
-    tx = tile_id % n_tiles_x
-    ty = tile_id // n_tiles_x
-    lin = jnp.arange(npix, dtype=jnp.int32)
-    px = (tx * ts + lin % ts).astype(dtype)
-    py = (ty * ts + lin // ts).astype(dtype)
+    px, py = _tile_pixel_coords(tile_id, n_tiles_x, cfg.tile_size, dtype)
     lane = jnp.arange(cs, dtype=jnp.int32)
 
     def step(carry, c):
@@ -277,45 +243,36 @@ def _backward_one_tile(
     return idxs.reshape(-1), grads.reshape(-1, feat.shape[-1])
 
 
-@partial(jax.jit, static_argnames=("width", "height", "cfg"))
-def backward_tiles(
+@partial(jax.jit, static_argnames=("n_tiles_x", "cfg"))
+def backward_tiles_jnp(
     feat: jnp.ndarray,
     pair_gaussian: jnp.ndarray,
     tile_start: jnp.ndarray,
     tile_count: jnp.ndarray,
-    image: jnp.ndarray,
-    trans: jnp.ndarray,
-    g_image: jnp.ndarray,
+    tile_ids: jnp.ndarray,
+    color_tiles: jnp.ndarray,
+    trans_tiles: jnp.ndarray,
+    g_color: jnp.ndarray,
     g_trans: jnp.ndarray,
-    width: int,
-    height: int,
+    n_tiles_x: int,
     cfg: RasterConfig,
 ) -> jnp.ndarray:
-    """Pure-jnp gradient of :func:`forward_tiles` w.r.t. ``feat``.
+    """Pure-jnp gradient of :func:`forward_tiles_jnp` w.r.t. ``feat``.
 
     Every tile scans a *static* ``ceil(max_pairs / chunk)`` chunks (masked
     past its count), so this is O(T * max_pairs) — fine for tests and small
     scenes; the Pallas backward kernel is the production path.
     """
-    ts = cfg.tile_size
-    n_tiles_x = -(-width // ts)
-    n_tiles_y = -(-height // ts)
-    num_tiles = n_tiles_x * n_tiles_y
     max_chunks = -(-pair_gaussian.shape[0] // cfg.chunk_size)
     pad = jnp.full((cfg.chunk_size,), feat.shape[0] - 1, dtype=pair_gaussian.dtype)
     pair_gaussian_p = jnp.concatenate([pair_gaussian, pad])
 
-    c_total = image_to_tiles(image, ts)  # [T, P, 3]
-    t_final = image_to_tiles(trans, ts)
-    gc = image_to_tiles(g_image, ts)
-    gt = image_to_tiles(g_trans, ts)
-
-    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     idxs, grads = jax.vmap(
         lambda t, s, c, ct, tf, g1, g2: _backward_one_tile(
-            t, feat, pair_gaussian_p, s, c, ct, tf, g1, g2, n_tiles_x, max_chunks, cfg
+            t, feat, pair_gaussian_p, s, c, ct, tf, g1, g2,
+            n_tiles_x, max_chunks, cfg,
         )
-    )(tile_ids, tile_start, tile_count, c_total, t_final, gc, gt)
+    )(tile_ids, tile_start, tile_count, color_tiles, trans_tiles, g_color, g_trans)
 
     return jax.ops.segment_sum(
         grads.reshape(-1, feat.shape[-1]),

@@ -1,0 +1,108 @@
+"""Fine-tuning loop: optimize splat parameters against ground-truth views.
+
+Covers BASELINE.json config 4 ("optimize means/opacity/SH of a pretrained
+scene against held-out views, full VJP"). The reference has no trainer at
+all; this one follows the 3DGS recipe: per-parameter learning rates, Adam,
+L1 + D-SSIM loss, all under one jitted train step so render-forward,
+kernel-backward, and the optimizer update fuse into a single device program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gsplat_tpu.config import RasterConfig, TrainConfig
+from gsplat_tpu.models.gaussians import GaussianModel
+from gsplat_tpu.ops.camera import CameraParams
+from gsplat_tpu.render.pipeline import render
+from gsplat_tpu.train.loss import psnr, rgb_loss
+
+
+def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    """Adam with the 3DGS per-parameter learning rates, expressed as an
+    optax multi_transform over the GaussianModel pytree."""
+    labels = GaussianModel(
+        means="means",
+        log_scales="log_scales",
+        quats="quats",
+        opacity_logits="opacity_logits",
+        sh="sh",
+    )
+    return optax.multi_transform(
+        {
+            "means": optax.adam(tc.lr_means),
+            "log_scales": optax.adam(tc.lr_scales),
+            "quats": optax.adam(tc.lr_quats),
+            "opacity_logits": optax.adam(tc.lr_opacity),
+            "sh": optax.adam(tc.lr_sh),
+        },
+        labels,
+    )
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Single-host trainer. For multi-chip training see
+    gsplat_tpu.parallel.shard.make_parallel_train_step."""
+
+    raster: RasterConfig
+    train: TrainConfig
+
+    def __post_init__(self):
+        self.optimizer = make_optimizer(self.train)
+
+        @partial(jax.jit, static_argnames=("camera",))
+        def _step(model, opt_state, camera, target):
+            def loss_fn(m):
+                image, _ = render(m, camera, self.raster)
+                return rgb_loss(image, target, self.train.ssim_weight), image
+
+            (loss, image), grads = jax.value_and_grad(loss_fn, has_aux=True)(model)
+            updates, opt_state = self.optimizer.update(grads, opt_state, model)
+            model = optax.apply_updates(model, updates)
+            metrics = {"loss": loss, "psnr": psnr(image, target)}
+            return model, opt_state, metrics
+
+        self._step = _step
+
+    def init_state(self, model: GaussianModel):
+        return self.optimizer.init(model)
+
+    def train_step(
+        self,
+        model: GaussianModel,
+        opt_state,
+        camera: CameraParams,
+        target: jnp.ndarray,
+    ) -> Tuple[GaussianModel, object, Dict[str, jnp.ndarray]]:
+        """One jitted optimization step against one view. Returns
+        (model, opt_state, metrics)."""
+        return self._step(model, opt_state, camera, target)
+
+    def fit(
+        self,
+        model: GaussianModel,
+        views: Sequence[Tuple[CameraParams, jnp.ndarray]],
+        steps: Optional[int] = None,
+        log_fn=None,
+    ) -> Tuple[GaussianModel, List[Dict[str, float]]]:
+        """Round-robin over (camera, ground-truth image) views."""
+        steps = steps if steps is not None else self.train.steps
+        opt_state = self.init_state(model)
+        history: List[Dict[str, float]] = []
+        for step in range(steps):
+            camera, target = views[step % len(views)]
+            model, opt_state, metrics = self.train_step(model, opt_state, camera, target)
+            if step % self.train.log_every == 0 or step == steps - 1:
+                record = {k: float(v) for k, v in metrics.items()}
+                record["step"] = step
+                history.append(record)
+                if log_fn is not None:
+                    log_fn(record)
+        return model, history

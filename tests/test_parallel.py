@@ -1,0 +1,96 @@
+"""Multi-chip sharding on the 8-virtual-device CPU mesh: tile-sharded render
+equals single-device render; (data x tile) train step runs and improves."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gsplat_tpu import MeshConfig, RasterConfig, TrainConfig, render
+from gsplat_tpu.models.gaussians import GaussianModel
+from gsplat_tpu.ops.camera import CameraArrays
+from gsplat_tpu.parallel.mesh import make_mesh
+from gsplat_tpu.parallel.shard import make_parallel_train_step, make_sharded_render
+
+from fixtures import orbit_camera, random_splat_arrays
+
+CFG = RasterConfig(tile_size=16, chunk_size=8, max_pairs=1 << 13, use_pallas=False)
+W, H = 64, 48
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.default_rng(9)
+    arrays = random_splat_arrays(rng, 200)
+    return GaussianModel.from_arrays(arrays)
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8, jax.devices()
+
+
+@pytest.mark.parametrize("tp", [2, 4, 8])
+def test_tile_sharded_render_matches_single_device(scene, tp):
+    camera = orbit_camera(0.2, width=W, height=H)
+    expected = np.asarray(render(scene, camera, CFG)[0])
+
+    mesh = make_mesh(MeshConfig(data=1, tile=tp))
+    render_fn = make_sharded_render(mesh, W, H, CFG)
+    cam = CameraArrays.from_params(camera)
+    got, trans = render_fn(scene, cam)
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-5, atol=1e-6)
+    assert np.isfinite(np.asarray(trans)).all()
+
+
+@pytest.mark.parametrize("dp,tp", [(2, 4), (4, 2), (8, 1), (1, 8)])
+def test_parallel_train_step(scene, dp, tp):
+    mesh = make_mesh(MeshConfig(data=dp, tile=tp))
+    cameras = [orbit_camera(0.1 * i, width=W, height=H) for i in range(dp)]
+    targets = jnp.stack([render(scene, c, CFG)[0] for c in cameras])
+
+    # Perturb and take a few steps toward the targets.
+    rng = np.random.default_rng(0)
+    arrays = scene.to_arrays()
+    arrays["opacity_logits"] = arrays["opacity_logits"] - 0.5
+    model = GaussianModel.from_arrays(arrays)
+
+    train_step, init_state, prepare_targets = make_parallel_train_step(
+        mesh, W, H, CFG, TrainConfig(ssim_weight=0.2)
+    )
+    cams = CameraArrays.stack([CameraArrays.from_params(c) for c in cameras])
+    target_tiles = prepare_targets(targets)
+    opt_state = init_state(model)
+
+    losses = []
+    for _ in range(5):
+        model, opt_state, metrics = train_step(model, opt_state, cams, target_tiles)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(float(metrics["psnr"]))
+
+
+def test_gradients_match_across_mesh_shapes(scene):
+    """The psum'd gradient must be independent of the mesh decomposition."""
+    camera = orbit_camera(0.2, width=W, height=H)
+    target = render(scene, camera, CFG)[0]
+    tc = TrainConfig(ssim_weight=0.0)  # pure L1 so tp>1 and tp=1 losses agree
+
+    def one_step_grad(dp, tp):
+        mesh = make_mesh(MeshConfig(data=dp, tile=tp))
+        train_step, init_state, prepare_targets = make_parallel_train_step(
+            mesh, W, H, CFG, tc
+        )
+        cams = CameraArrays.stack([CameraArrays.from_params(camera)] * dp)
+        tiles = prepare_targets(jnp.stack([target] * dp))
+        model, _, metrics = train_step(scene, init_state(scene), cams, tiles)
+        return np.asarray(model.means), float(metrics["loss"])
+
+    m1, l1 = one_step_grad(1, 8)
+    m2, l2 = one_step_grad(8, 1)
+    m3, l3 = one_step_grad(2, 4)
+    assert l1 == pytest.approx(l2, rel=1e-5)
+    assert l1 == pytest.approx(l3, rel=1e-5)
+    np.testing.assert_allclose(m1, m2, rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(m1, m3, rtol=1e-4, atol=1e-7)
