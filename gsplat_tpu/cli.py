@@ -1,0 +1,245 @@
+"""Command-line interface.
+
+``render`` preserves the reference CLI's six flags and behavior
+(rasterize.py:308-314: --input_dir, --trained_model_path, --output_path,
+--scene-index, --scale-factor, --generate_video), including the hardcoded
+camera id 1 (rasterize.py:336), the ``images_{scale_factor}/`` ground-truth
+lookup (rasterize.py:333) and the ``point_cloud/iteration_30000`` checkpoint
+path (rasterize.py:351-353). Extras the reference lacks: ``finetune`` (the
+backward-pass workload) and ``orbit`` (batched camera-pose video).
+
+Run as ``python -m gsplat_tpu.cli <command> ...``.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Optional
+
+import click
+import numpy as np
+
+from gsplat_tpu.config import RasterConfig, TrainConfig
+from gsplat_tpu.utils.logging import get_logger
+
+logger = get_logger()
+
+
+def _load_scene(input_dir: str, trained_model_path: str, scene_index: int, scale_factor: int):
+    """Shared loading path; returns (model, camera, gt_image [H,W,3] float)."""
+    from PIL import Image
+
+    from gsplat_tpu.io.ply import load_splat_arrays
+    from gsplat_tpu.io.scene import checkpoint_ply_path, read_scene
+    from gsplat_tpu.models.gaussians import GaussianModel
+    from gsplat_tpu.ops.camera import CameraParams
+
+    logger.info("Fetching scenes from: %s", input_dir)
+    scenes, cam_info = read_scene(input_dir)
+    scene = scenes[scene_index]
+
+    gt_img_path = os.path.join(input_dir, f"images_{scale_factor}", scene.name)
+    img = Image.open(gt_img_path)
+    width, height = img.size
+
+    ply_path = checkpoint_ply_path(trained_model_path)
+    logger.info("Fetching trained model from: %s", ply_path)
+    model = GaussianModel.from_arrays(load_splat_arrays(ply_path))
+    camera = CameraParams.from_colmap(scene, cam_info[1], width, height)
+    gt = np.asarray(img).astype(np.float32) / 255.0
+    return model, camera, gt, gt_img_path
+
+
+def _raster_config(tile_size, chunk_size, max_pairs, early_stop, backend) -> RasterConfig:
+    return RasterConfig(
+        tile_size=tile_size,
+        chunk_size=chunk_size,
+        max_pairs=max_pairs,
+        early_stop_transmittance=early_stop,
+        use_pallas=(backend == "pallas"),
+    )
+
+
+_COMMON = [
+    click.option("--input_dir", type=str, default=""),
+    click.option("--trained_model_path", type=str, default=""),
+    click.option("--scene-index", type=int, default=0),
+    click.option("--scale-factor", type=int, default=2),
+    click.option("--tile-size", type=int, default=32, help="pixel tile edge"),
+    click.option("--chunk-size", type=int, default=32, help="gaussians per inner step"),
+    click.option("--max-pairs", type=int, default=1 << 22, help="tile/gaussian pair capacity"),
+    click.option("--early-stop", type=float, default=0.0,
+                 help="transmittance below which a tile stops compositing (0 = exact reference semantics)"),
+    click.option("--backend", type=click.Choice(["pallas", "jnp"]), default="pallas"),
+]
+
+
+def common_options(fn):
+    for opt in reversed(_COMMON):
+        fn = opt(fn)
+    return fn
+
+
+@click.group()
+def cli():
+    """TPU-native gaussian splatting."""
+
+
+@cli.command()
+@common_options
+@click.option("--output_path", type=str, default="")
+@click.option("--generate_video", is_flag=True, type=bool, default=False)
+@click.option("--show/--no-show", default=True, help="display the matplotlib comparison figure")
+def render(
+    input_dir, trained_model_path, scene_index, scale_factor,
+    tile_size, chunk_size, max_pairs, early_stop, backend,
+    output_path, generate_video, show,
+):
+    """Render one scene view next to its ground-truth photo."""
+    import matplotlib
+
+    if not show:
+        matplotlib.use("Agg")
+    import matplotlib.image as mpimg
+    import matplotlib.pyplot as plt
+
+    from gsplat_tpu.render.pipeline import render as render_fn
+    from gsplat_tpu.utils import video as videolib
+
+    cfg = _raster_config(tile_size, chunk_size, max_pairs, early_stop, backend)
+    model, camera, gt, gt_img_path = _load_scene(
+        input_dir, trained_model_path, scene_index, scale_factor
+    )
+    image, _ = render_fn(model, camera, cfg)
+    image = np.asarray(image)
+    logger.info("rendered %dx%d from %d gaussians", camera.width, camera.height, model.num_gaussians)
+
+    if output_path:
+        os.makedirs(output_path, exist_ok=True)
+        videolib.save_frame(os.path.join(output_path, "render.png"), image)
+
+    if generate_video:
+        os.makedirs(os.path.join(output_path, "images"), exist_ok=True)
+        frames = videolib.progressive_frames(model, camera, cfg, num_frames=40)
+        videolib.write_frames(output_path, frames)
+        video_path = videolib.encode_video(output_path, camera.width, camera.height)
+        logger.info("wrote %s", video_path)
+
+    plt.figure(figsize=(10, 10))
+    plt.subplot(2, 1, 1)
+    plt.imshow(np.clip(image, 0, 1))
+    plt.title("Rendered Image")
+    plt.subplot(2, 1, 2)
+    plt.imshow(mpimg.imread(gt_img_path))
+    plt.title("Reference Image")
+    if output_path:
+        plt.savefig(os.path.join(output_path, "comparison.png"), dpi=120)
+    if show:
+        plt.show()
+
+
+@cli.command()
+@common_options
+@click.option("--output_path", type=str, default="")
+@click.option("--num-frames", type=int, default=60)
+@click.option("--orbit-degrees", type=float, default=360.0)
+def orbit(
+    input_dir, trained_model_path, scene_index, scale_factor,
+    tile_size, chunk_size, max_pairs, early_stop, backend,
+    output_path, num_frames, orbit_degrees,
+):
+    """Render a camera orbit around the scene view as a video
+    (BASELINE.json config 2: batched camera poses)."""
+    import jax
+
+    from gsplat_tpu.ops.camera import CameraArrays, CameraParams
+    from gsplat_tpu.render.pipeline import render_batch
+    from gsplat_tpu.utils import video as videolib
+
+    cfg = _raster_config(tile_size, chunk_size, max_pairs, early_stop, backend)
+    model, camera, _, _ = _load_scene(input_dir, trained_model_path, scene_index, scale_factor)
+
+    cams = []
+    for i in range(num_frames):
+        angle = math.radians(orbit_degrees) * i / num_frames
+        half = angle / 2.0
+        # Compose an extra yaw (about the camera-frame y axis) onto the pose.
+        q = np.array([math.cos(half), 0.0, math.sin(half), 0.0])
+        w, x, y, z = camera.qvec
+        # Hamilton product q * qvec.
+        composed = (
+            q[0] * w - q[1] * x - q[2] * y - q[3] * z,
+            q[0] * x + q[1] * w + q[2] * z - q[3] * y,
+            q[0] * y - q[1] * z + q[2] * w + q[3] * x,
+            q[0] * z + q[1] * y - q[2] * x + q[3] * w,
+        )
+        cams.append(
+            CameraArrays.from_params(
+                CameraParams(
+                    width=camera.width, height=camera.height,
+                    fov_x=camera.fov_x, fov_y=camera.fov_y,
+                    focal_x=camera.focal_x, focal_y=camera.focal_y,
+                    qvec=composed, tvec=camera.tvec,
+                )
+            )
+        )
+    stacked = CameraArrays.stack(cams)
+    images, _ = render_batch(model, stacked, camera.width, camera.height, cfg)
+    images = np.asarray(images)
+    os.makedirs(output_path or ".", exist_ok=True)
+    videolib.write_frames(output_path or ".", list(images))
+    video_path = videolib.encode_video(output_path or ".", camera.width, camera.height)
+    logger.info("wrote %s (%d frames)", video_path, num_frames)
+
+
+@cli.command()
+@common_options
+@click.option("--output_path", type=str, default="")
+@click.option("--steps", type=int, default=300)
+@click.option("--ssim-weight", type=float, default=0.2)
+@click.option("--save-iteration", type=int, default=30001,
+              help="iteration label for the exported PLY checkpoint")
+def finetune(
+    input_dir, trained_model_path, scene_index, scale_factor,
+    tile_size, chunk_size, max_pairs, early_stop, backend,
+    output_path, steps, ssim_weight, save_iteration,
+):
+    """Fine-tune the splat model against the scene's ground-truth views
+    (BASELINE.json config 4: the full-VJP workload)."""
+    from PIL import Image
+
+    import jax.numpy as jnp
+
+    from gsplat_tpu.io.scene import read_scene
+    from gsplat_tpu.ops.camera import CameraParams
+    from gsplat_tpu.train.checkpoint import save_ply_checkpoint
+    from gsplat_tpu.train.trainer import Trainer
+    from gsplat_tpu.utils.logging import log_metrics
+
+    cfg = _raster_config(tile_size, chunk_size, max_pairs, early_stop, backend)
+    model, _, _, _ = _load_scene(input_dir, trained_model_path, scene_index, scale_factor)
+
+    scenes, cam_info = read_scene(input_dir)
+    views = []
+    for sid, scene in sorted(scenes.items()):
+        path = os.path.join(input_dir, f"images_{scale_factor}", scene.name)
+        if not os.path.exists(path):
+            continue
+        img = Image.open(path)
+        gt = jnp.asarray(np.asarray(img, dtype=np.float32) / 255.0)
+        cam = CameraParams.from_colmap(scene, cam_info[1], img.size[0], img.size[1])
+        views.append((cam, gt))
+    logger.info("fine-tuning on %d views for %d steps", len(views), steps)
+
+    trainer = Trainer(raster=cfg, train=TrainConfig(steps=steps, ssim_weight=ssim_weight))
+    model, history = trainer.fit(
+        model, views, log_fn=lambda r: log_metrics(logger, r["step"], r)
+    )
+    if output_path:
+        ply = save_ply_checkpoint(output_path, model, iteration=save_iteration)
+        logger.info("saved fine-tuned checkpoint to %s", ply)
+
+
+if __name__ == "__main__":
+    cli()

@@ -111,11 +111,18 @@ def bin_gaussians(
     num_pairs = jnp.minimum(offsets[-1] + counts_d[-1], max_pairs).astype(jnp.int32)
 
     # 2. Segment-start markers -> pair slot -> depth-rank of owning gaussian.
-    #    scatter-add (mode=drop) ignores segments starting past capacity.
+    #    Scatter each nonempty segment's *depth rank* at its start offset and
+    #    propagate with a cumulative max. (A cumsum of +1 markers would count
+    #    only nonempty segments and mis-rank everything after a zero-count
+    #    gaussian — zero-count gaussians are the common case: culled /
+    #    offscreen splats.) Ranks are monotone along the buffer, so cummax
+    #    recovers the owning rank exactly; mode=drop ignores segments
+    #    starting past capacity.
+    rank_iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
     markers = jnp.zeros((max_pairs,), dtype=jnp.int32)
     starts = jnp.where(counts_d > 0, offsets, max_pairs)  # drop empty segments
-    markers = markers.at[starts].add(1, mode="drop")
-    pair_rank = jnp.cumsum(markers) - 1  # [max_pairs], depth rank per slot
+    markers = markers.at[starts].max(rank_iota, mode="drop")
+    pair_rank = jax.lax.cummax(markers)  # [max_pairs], depth rank per slot
 
     slot = jax.lax.broadcasted_iota(jnp.int32, (max_pairs, 1), 0).squeeze(-1)
     valid = slot < num_pairs

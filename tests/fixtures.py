@@ -15,9 +15,24 @@ from gsplat_tpu.ops.camera import CameraParams
 
 
 def random_splat_arrays(rng: np.random.Generator, n: int, extent: float = 1.0):
-    """Raw-parameter arrays for a random but renderable splat cloud."""
+    """Raw-parameter arrays for a random splat cloud.
+
+    ~20% of the gaussians are deliberately offscreen or behind the camera so
+    culling / zero-count binning paths are exercised (real scenes always
+    contain such splats)."""
+    means = rng.uniform(-extent, extent, (n, 3)).astype(np.float32)
+    outliers = rng.uniform(size=n) < 0.2
+    kind = rng.uniform(size=n)
+    far_out = np.where(kind < 0.5, 50.0 * extent, -50.0)  # offscreen | behind
+    axis = rng.integers(0, 3, n)
+    for i in range(n):
+        if outliers[i]:
+            if far_out[i] < 0:
+                means[i, 2] = -50.0  # behind the default test cameras
+            else:
+                means[i, axis[i] % 2] = far_out[i]
     return {
-        "means": rng.uniform(-extent, extent, (n, 3)).astype(np.float32),
+        "means": means,
         "log_scales": rng.uniform(-4.0, -1.5, (n, 3)).astype(np.float32),
         "quats": rng.normal(size=(n, 4)).astype(np.float32),
         "opacity_logits": rng.uniform(-1.0, 4.0, n).astype(np.float32),

@@ -1,0 +1,121 @@
+"""Tile binning unit tests — including the zero-count interleaving case
+(culled/offscreen gaussians between visible ones in depth order)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gsplat_tpu.ops import binning
+from gsplat_tpu.ops.projection import Preprocessed
+
+
+def make_prep(means_xy, radii, depths, active=None, width=64, height=64):
+    """Hand-built Preprocessed with square bboxes around given centers."""
+    n = len(means_xy)
+    means = np.asarray(means_xy, np.float32)
+    r = np.asarray(radii, np.float32)
+    bbox = np.stack(
+        [
+            np.clip(means[:, 0] - r, 0, width - 1),
+            np.clip(means[:, 1] - r, 0, height - 1),
+            np.clip(means[:, 0] + r, 0, width - 1),
+            np.clip(means[:, 1] + r, 0, height - 1),
+        ],
+        axis=-1,
+    ).astype(np.int32)
+    if active is None:
+        active = np.ones(n, bool)
+    return Preprocessed(
+        screen_means=jnp.asarray(means),
+        conics=jnp.ones((n, 3), jnp.float32),
+        rgb=jnp.ones((n, 3), jnp.float32),
+        opacity=jnp.ones((n,), jnp.float32),
+        depth=jnp.asarray(depths, jnp.float32),
+        bbox=jnp.asarray(bbox),
+        active=jnp.asarray(active),
+    )
+
+
+def expected_pairs(prep, width, height, tile_size):
+    """Brute-force (tile -> depth-ordered gaussian list) reference."""
+    ntx = -(-width // tile_size)
+    nty = -(-height // tile_size)
+    out = {t: [] for t in range(ntx * nty)}
+    order = np.argsort(np.asarray(prep.depth), kind="stable")
+    for g in order:
+        if not bool(prep.active[g]):
+            continue
+        x0, y0, x1, y1 = (int(v) for v in prep.bbox[g])
+        if x1 <= x0 or y1 <= y0:
+            continue
+        for ty in range(max(y0 // tile_size, 0), min((y1 - 1) // tile_size, nty - 1) + 1):
+            for tx in range(max(x0 // tile_size, 0), min((x1 - 1) // tile_size, ntx - 1) + 1):
+                out[ty * ntx + tx].append(int(g))
+    return out
+
+
+def check_binning(prep, width=64, height=64, tile_size=16, max_pairs=1 << 10, align=1):
+    bins = binning.bin_gaussians(prep, width, height, tile_size, max_pairs, align=align)
+    want = expected_pairs(prep, width, height, tile_size)
+    pg = np.asarray(bins.pair_gaussian)
+    starts = np.asarray(bins.tile_start)
+    counts = np.asarray(bins.tile_count)
+    for t, expected in want.items():
+        got = pg[starts[t] : starts[t] + counts[t]].tolist()
+        assert got == expected, f"tile {t}: got {got}, want {expected}"
+
+
+def test_simple_two_tiles():
+    prep = make_prep([[8, 8], [40, 40]], [4, 4], [1.0, 2.0])
+    check_binning(prep)
+
+
+def test_multi_tile_coverage_and_depth_order():
+    prep = make_prep(
+        [[16, 16], [16, 16], [30, 30]], [10, 2, 20], [2.0, 1.0, 3.0]
+    )
+    check_binning(prep)
+
+
+def test_zero_count_gaussians_interleaved():
+    """Inactive gaussians between visible ones must not shift rank mapping
+    (regression: cumsum-of-markers mis-ranked everything after a zero-count
+    gaussian)."""
+    rng = np.random.default_rng(0)
+    n = 60
+    means = rng.uniform(0, 64, (n, 2))
+    radii = rng.uniform(2, 12, n)
+    depths = rng.uniform(1, 10, n)
+    active = rng.uniform(size=n) < 0.5  # half culled, randomly interleaved
+    prep = make_prep(means, radii, depths, active)
+    check_binning(prep)
+    check_binning(prep, align=8)
+
+
+def test_first_gaussian_inactive():
+    prep = make_prep(
+        [[8, 8], [8, 8]], [4, 4], [1.0, 2.0], active=[False, True]
+    )
+    check_binning(prep)
+
+
+def test_alignment_pads_segments():
+    prep = make_prep([[8, 8], [40, 40], [40, 8]], [4, 4, 4], [1.0, 2.0, 3.0])
+    bins = binning.bin_gaussians(prep, 64, 64, 16, 1 << 10, align=8)
+    starts = np.asarray(bins.tile_start)
+    assert (starts % 8 == 0).all()
+    check_binning(prep, align=8)
+
+
+def test_capacity_overflow_keeps_nearest():
+    """With a tiny pair budget the closest gaussians win (graceful tail drop)."""
+    prep = make_prep(
+        [[8, 8]] * 10, [4] * 10, list(range(10)),  # all in one tile
+    )
+    bins = binning.bin_gaussians(prep, 64, 64, 16, max_pairs=4, align=1)
+    pg = np.asarray(bins.pair_gaussian)
+    starts = np.asarray(bins.tile_start)
+    counts = np.asarray(bins.tile_count)
+    got = pg[starts[0] : starts[0] + counts[0]].tolist()
+    assert got == [0, 1, 2, 3]  # depth order, nearest kept
