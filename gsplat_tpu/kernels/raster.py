@@ -32,6 +32,9 @@ def _use_pallas(cfg: RasterConfig) -> bool:
 
 
 def _forward_impl(feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles_x, cfg):
+    """Returns (color, trans, chunks_done). ``chunks_done`` [T] int32 is how
+    many chunks each tile composited before early termination (== all chunks
+    for the jnp path / when early stop is off)."""
     if _use_pallas(cfg):
         from gsplat_tpu.kernels.raster_fwd import forward_tiles_pallas
 
@@ -40,14 +43,15 @@ def _forward_impl(feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles
         )
     from gsplat_tpu.render.tile_jnp import forward_tiles_jnp
 
-    return forward_tiles_jnp(
+    color, trans = forward_tiles_jnp(
         feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles_x, cfg
     )
+    return color, trans, -(-tile_count // cfg.chunk_size)
 
 
 def _backward_impl(
     feat, pair_gaussian, tile_start, tile_count, tile_ids,
-    color_tiles, trans_tiles, g_color, g_trans, n_tiles_x, cfg,
+    color_tiles, trans_tiles, g_color, g_trans, chunks_done, n_tiles_x, cfg,
 ):
     if _use_pallas(cfg):
         from gsplat_tpu.kernels.raster_bwd import backward_tiles_pallas
@@ -55,6 +59,7 @@ def _backward_impl(
         return backward_tiles_pallas(
             feat, pair_gaussian, tile_start, tile_count, tile_ids,
             color_tiles, trans_tiles, g_color, g_trans, n_tiles_x, cfg,
+            chunks_done=chunks_done,
         )
     from gsplat_tpu.render.tile_jnp import backward_tiles_jnp
 
@@ -84,16 +89,20 @@ def rasterize_tiles(
     Returns:
       (color ``[T, npix, 3]``, transmittance ``[T, npix]``).
     """
-    return _forward_impl(
+    color, trans, _ = _forward_impl(
         feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles_x, cfg
     )
+    return color, trans
 
 
 def _fwd(feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles_x, cfg):
-    color, trans = _forward_impl(
+    color, trans, chunks_done = _forward_impl(
         feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles_x, cfg
     )
-    residuals = (feat, pair_gaussian, tile_start, tile_count, tile_ids, color, trans)
+    residuals = (
+        feat, pair_gaussian, tile_start, tile_count, tile_ids,
+        color, trans, chunks_done,
+    )
     return (color, trans), residuals
 
 
@@ -102,11 +111,14 @@ def _int_zero_cotangent(x):
 
 
 def _bwd(n_tiles_x, cfg, residuals, cotangents):
-    feat, pair_gaussian, tile_start, tile_count, tile_ids, color, trans = residuals
+    (
+        feat, pair_gaussian, tile_start, tile_count, tile_ids,
+        color, trans, chunks_done,
+    ) = residuals
     g_color, g_trans = cotangents
     d_feat = _backward_impl(
         feat, pair_gaussian, tile_start, tile_count, tile_ids,
-        color, trans, g_color, g_trans, n_tiles_x, cfg,
+        color, trans, g_color, g_trans, chunks_done, n_tiles_x, cfg,
     )
     return (
         d_feat,

@@ -27,11 +27,15 @@ the reference (rasterize.py:291-303).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Timing-only ablation switch for scripts/bwd_variants.py; "" in production.
+_ABLATE = os.environ.get("GSPLAT_BWD_ABLATE", "none")
 
 from gsplat_tpu.config import MAX_GAUSSIAN_DENSITY, MIN_ALPHA, RasterConfig
 from gsplat_tpu.kernels.scans import cumprod_inclusive, cumsum_inclusive, exclusive_from_inclusive
@@ -43,10 +47,12 @@ def _bwd_kernel(
     tile_start_ref,
     tile_count_ref,
     tile_ids_ref,
+    chunks_done_ref,
     # inputs
     feat_hbm,
     fwd_out_ref,  # [1, 8, npix]: rows 0-2 C_total, row 3 T_final
     g_out_ref,  # [1, 8, npix]: rows 0-2 dL/dC, row 3 dL/dT_final
+    basis_ref,  # [npix, 128]: cols {1, px, py, px^2, py^2, px*py} (tile-local)
     # outputs
     grad_hbm,
     # scratch
@@ -67,6 +73,14 @@ def _bwd_kernel(
     cs = chunk_size
     npix = tile_size * tile_size
     nchunks = (count + cs - 1) // cs
+    # Chunks the forward actually composited before early termination; the
+    # tail's gradient is exactly zero (those pairs never touched the output),
+    # so those chunks only write zero slabs — no feature DMA, no compute.
+    done = jnp.minimum(chunks_done_ref[t], nchunks)
+    if _ABLATE == "quarter":
+        done = nchunks // 4
+    elif _ABLATE == "allchunks":
+        done = nchunks
 
     tx = tid % n_tiles_x
     ty = tid // n_tiles_x
@@ -74,12 +88,21 @@ def _bwd_kernel(
     px = (tx * tile_size + lin % tile_size).astype(jnp.float32)
     py = (ty * tile_size + lin // tile_size).astype(jnp.float32)
 
-    # carry rows: 0-2 = C_front (color composited so far), 3 = T (transmittance)
-    carry[0:3] = jnp.zeros((3, npix), jnp.float32)
-    carry[3:4] = jnp.ones((1, npix), jnp.float32)
-
     t_final = fwd_out_ref[0, 3:4, :]
     g_trans_term = g_out_ref[0, 3:4, :] * t_final  # [1, npix]
+
+    # Per-channel quantities collapse to two per-pixel running rows
+    # (the cotangent row g_ch is constant along the pair axis, so it
+    # commutes with the front-to-back prefix sums):
+    #   row 0: S0 = Σ_ch g_ch * (C_total_ch - C_front_ch)  ("suffix color
+    #          still to be occluded", pre-contracted with the cotangent)
+    #   row 1: T  = running transmittance
+    carry[0:1] = (
+        g_out_ref[0, 0:1, :] * fwd_out_ref[0, 0:1, :]
+        + g_out_ref[0, 1:2, :] * fwd_out_ref[0, 1:2, :]
+        + g_out_ref[0, 2:3, :] * fwd_out_ref[0, 2:3, :]
+    )
+    carry[1:2] = jnp.ones((1, npix), jnp.float32)
 
     def get_dma(slot, c):
         return pltpu.make_async_copy(
@@ -91,14 +114,37 @@ def _bwd_kernel(
             gslab.at[slot], grad_hbm.at[pl.ds(start + c * cs, cs)], out_sems.at[slot]
         )
 
-    @pl.when(nchunks > 0)
+    @pl.when(done > 0)
     def _():
         get_dma(0, 0).start()
 
     def body(c, _):
         slot = jax.lax.rem(c, 2)
 
-        @pl.when(c + 1 < nchunks)
+        # Double-buffered write-back: make sure this slot's previous DMA
+        # (from chunk c-2) has drained before overwriting the scratch.
+        if _ABLATE != "nowait" and _ABLATE != "nodma":
+            @pl.when(c >= 2)
+            def _():
+                put_dma(slot, c - 2).wait()
+
+        if _ABLATE == "nocond":
+            compute_chunk(c, slot)
+        else:
+            @pl.when(c < done)
+            def _():
+                compute_chunk(c, slot)
+
+            @pl.when(c >= done)
+            def _():
+                gslab[slot] = jnp.zeros((cs, 128), jnp.float32)
+
+        if _ABLATE != "nodma":
+            put_dma(slot, c).start()
+        return ()
+
+    def compute_chunk(c, slot):
+        @pl.when(c + 1 < (nchunks if _ABLATE == "nocond" else done))
         def _():
             get_dma(1 - slot, c + 1).start()
 
@@ -125,67 +171,108 @@ def _bwd_kernel(
 
         one_minus = 1.0 - a
         cum = cumprod_inclusive(one_minus)
-        t_k = exclusive_from_inclusive(cum, 1.0) * carry[3:4]  # T in front of k
+        t_k = exclusive_from_inclusive(cum, 1.0) * carry[1:2]  # T in front of k
         w = a * t_k
+        if _ABLATE == "fwdlike":
+            carry[1:2] = carry[1:2] * cum[-1:]
+            gslab[slot] = jnp.broadcast_to(w[:, 0:1], (cs, 128))
+            return
         inv_om = 1.0 / one_minus
 
-        # --- dL/d(alpha_k), summing the three color channels ---
-        d_a = -g_trans_term * inv_om
-        d_rgb = []
-        for ch in range(3):
-            rgb = feats[:, B.FEAT_R + ch][:, None]
-            g_c = g_out_ref[0, ch : ch + 1, :]  # [1, npix]
-            wc = w * rgb
-            cum_wc = cumsum_inclusive(wc)
-            c_front_k = carry[ch : ch + 1] + (cum_wc - wc)  # exclusive prefix
-            s_behind = fwd_out_ref[0, ch : ch + 1, :] - c_front_k - wc
-            d_a += g_c * (rgb * t_k - s_behind * inv_om)
-            d_rgb.append(jnp.sum(g_c * w, axis=1, keepdims=True))  # [cs, 1]
-            carry[ch : ch + 1] = carry[ch : ch + 1] + cum_wc[-1:]
+        # --- dL/d(alpha_k) ---
+        # Per channel, dC_ch/d(a_k) = rgb_ch * T_k - S_behind_ch / (1 - a_k)
+        # with S_behind_ch = C_total_ch - carry_ch - cumsum(w * rgb_ch).
+        # Contracted with the per-pixel cotangent rows g_ch (constant along
+        # k) everything folds into u = Σ_ch rgb_ch * g_ch and ONE cumsum:
+        #   Σ_ch g_ch * S_behind_ch = S0 - cumsum_k(w * u)
+        g_r = g_out_ref[0, 0:1, :]
+        g_g = g_out_ref[0, 1:2, :]
+        g_b = g_out_ref[0, 2:3, :]
+        u = (
+            col(B.FEAT_R) * g_r + col(B.FEAT_G) * g_g + col(B.FEAT_B) * g_b
+        )  # [cs, npix]
+        wu = w * u
+        cum_wu = wu if _ABLATE == "noscan" else cumsum_inclusive(wu)
+        s_behind_g = carry[0:1] - cum_wu  # Σ_ch g_ch * S_behind at k
+        if _ABLATE == "noda":
+            d_a = u
+        else:
+            d_a = u * t_k - (s_behind_g + g_trans_term) * inv_om
         d_a = jnp.where(valid, d_a, 0.0)
-        carry[3:4] = carry[3:4] * cum[-1:]
+        gw = [g_r * w, g_g * w, g_b * w]  # matmul rows for d_rgb
+        carry[0:1] = carry[0:1] - cum_wu[-1:]
+        carry[1:2] = carry[1:2] * cum[-1:]
 
         # --- chain through alpha = min(opacity*exp(density), 0.99) ---
         d_raw = jnp.where(raw < MAX_GAUSSIAN_DENSITY, d_a, 0.0)
-        d_density = d_raw * raw
-        sumpix = lambda v: jnp.sum(v, axis=1, keepdims=True)  # [cs, 1]
-        d_opac = sumpix(d_raw * expd)
-        d_mean_x = sumpix(d_density * -(cx * dx + cxy * dy))
-        d_mean_y = sumpix(d_density * -(cy * dy + cxy * dx))
-        d_cx = sumpix(d_density * (-0.5 * dx * dx))
-        d_cy = sumpix(d_density * (-0.5 * dy * dy))
-        d_cxy = sumpix(d_density * (-dx * dy))
+        d_density = d_raw * raw  # [cs, npix]
 
-        zeros1 = jnp.zeros((cs, 1), jnp.float32)
+        # Every per-pair gradient is a pixel reduction. Cross-lane VPU
+        # reductions are slow, so reduce on the MXU instead: all nine are
+        # recovered from *pixel moments* of d_density against the constant
+        # polynomial basis {1, px, py, px^2, py^2, px*py} (tile-local px —
+        # bounded magnitudes keep the binomial re-expansion of Σ d*(mx-px)^k
+        # well-conditioned), plus the ones-column row-sums of g_ch * w for
+        # d_rgb. One [4*cs, npix] @ [npix, 128] matmul total.
+        if _ABLATE == "nomatmul":
+            mom = jnp.broadcast_to(d_density[:, 0:128], (cs, 128))
+            mom = jnp.concatenate([mom] * 4, axis=0)
+        else:
+            lhs = jnp.concatenate([d_density] + gw, axis=0)  # [4*cs, npix]
+            mom = jax.lax.dot_general(
+                lhs, basis_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [4*cs, 128]
+        s1 = mom[0:cs, 0:1]  # Σ d
+        spx = mom[0:cs, 1:2]  # Σ d*px
+        spy = mom[0:cs, 2:3]  # Σ d*py
+        spxx = mom[0:cs, 3:4]  # Σ d*px^2
+        spyy = mom[0:cs, 4:5]  # Σ d*py^2
+        spxy = mom[0:cs, 5:6]  # Σ d*px*py
+        d_rgb = [mom[(1 + ch) * cs : (2 + ch) * cs, 0:1] for ch in range(3)]
+
+        # Tile-centered mean; dx = mx - px holds in any shared origin, and
+        # centering halves the coordinate magnitudes in the cancellation.
+        half = (tile_size - 1) / 2.0
+        mx = col(B.FEAT_MEAN_X) - ((tx * tile_size).astype(jnp.float32) + half)
+        my = col(B.FEAT_MEAN_Y) - ((ty * tile_size).astype(jnp.float32) + half)
+        sx = mx * s1 - spx  # Σ d*dx
+        sy = my * s1 - spy  # Σ d*dy
+        sxx = mx * mx * s1 - 2.0 * mx * spx + spxx  # Σ d*dx^2
+        syy = my * my * s1 - 2.0 * my * spy + spyy  # Σ d*dy^2
+        sxy = mx * my * s1 - mx * spy - my * spx + spxy  # Σ d*dx*dy
+
+        opac = col(B.FEAT_OPACITY)  # [cs, 1], as are cx/cy/cxy
+        d_mean_x = -(cx * sx + cxy * sy)
+        d_mean_y = -(cy * sy + cxy * sx)
+        d_cx = -0.5 * sxx
+        d_cy = -0.5 * syy
+        d_cxy = -sxy
+        # Σ d_raw*expd == Σ d_density / opac (opac is per-pair constant).
+        d_opac = jnp.where(opac > 0.0, s1 / opac, 0.0)
+
         grad = jnp.concatenate(
-            [
-                d_mean_x, d_mean_y, d_cx, d_cy, d_cxy, d_opac,
-                d_rgb[0], d_rgb[1], d_rgb[2],
-            ]
-            + [zeros1] * (128 - 9),
+            [d_mean_x, d_mean_y, d_cx, d_cy, d_cxy, d_opac] + d_rgb
+            + [jnp.zeros((cs, 128 - 9), jnp.float32)],
             axis=1,
-        )  # [cs, 128] (9 used + lane padding)
-
-        # Double-buffered write-back: make sure this slot's previous DMA
-        # (from chunk c-2) has drained before overwriting the scratch.
-        @pl.when(c >= 2)
-        def _():
-            put_dma(slot, c - 2).wait()
+        )  # [cs, 128] (FEAT_* lane order + padding)
 
         gslab[slot] = grad
-        put_dma(slot, c).start()
-        return ()
 
     jax.lax.fori_loop(0, nchunks, body, ())
 
     # Drain outstanding write DMAs.
-    @pl.when(nchunks >= 2)
-    def _():
-        put_dma(jax.lax.rem(nchunks - 2, 2), nchunks - 2).wait()
+    if _ABLATE != "nodma":
 
-    @pl.when(nchunks >= 1)
-    def _():
-        put_dma(jax.lax.rem(nchunks - 1, 2), nchunks - 1).wait()
+        @pl.when(nchunks >= 2)
+        def _():
+            put_dma(jax.lax.rem(nchunks - 2, 2), nchunks - 2).wait()
+
+        @pl.when(nchunks >= 1)
+        def _():
+            put_dma(jax.lax.rem(nchunks - 1, 2), nchunks - 1).wait()
 
 
 @functools.partial(
@@ -203,12 +290,15 @@ def backward_tiles_pallas(
     g_trans: jnp.ndarray,
     n_tiles_x: int,
     cfg: RasterConfig,
+    chunks_done: jnp.ndarray | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Gradient of the tile compositor w.r.t. ``feat`` ([N+1, 16]).
 
     Per-tile inputs: color_tiles [T, npix, 3], trans_tiles [T, npix] (the
     forward outputs) and their cotangents g_color / g_trans, same shapes.
+    ``chunks_done`` [T] int32 (from the forward kernel) limits the walk to
+    the chunks the forward composited; None walks every chunk.
     """
     ts = cfg.tile_size
     cs = cfg.chunk_size
@@ -232,16 +322,32 @@ def backward_tiles_pallas(
     fwd_out = pack(color_tiles, trans_tiles)
     g_out = pack(g_color, g_trans)
 
+    # Constant moment basis: cols {1, px, py, px^2, py^2, px*py} in
+    # tile-local pixel coordinates (row-major within the tile), zero-padded
+    # to the 128-lane MXU width.
+    lin = jnp.arange(npix, dtype=f32)
+    bx = lin % ts - (ts - 1) / 2.0
+    by = lin // ts - (ts - 1) / 2.0
+    basis = jnp.stack(
+        [jnp.ones_like(bx), bx, by, bx * bx, by * by, bx * by], axis=1
+    )  # [npix, 6]
+    basis = jnp.pad(basis, ((0, 0), (0, 128 - 6)))
+
+    if chunks_done is None:
+        chunks_done = -(-tile_count // cs)
+    chunks_done = chunks_done.astype(jnp.int32)
+
     kernel = functools.partial(
         _bwd_kernel, n_tiles_x=n_tiles_x, tile_size=ts, chunk_size=cs
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 8, npix), lambda t, s, c, i: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, npix), lambda t, s, c, i: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, npix), lambda t, s, c, i, d: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, npix), lambda t, s, c, i, d: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((npix, 128), lambda t, s, c, i, d: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
@@ -249,7 +355,7 @@ def backward_tiles_pallas(
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((2, cs, 128), f32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((8, npix), f32),
+            pltpu.VMEM((2, npix), f32),
         ],
     )
     pair_grads = pl.pallas_call(
@@ -264,7 +370,7 @@ def backward_tiles_pallas(
             + num_tiles * npix * 32,
             transcendentals=int(pair_gaussian.shape[0]) * npix,
         ),
-    )(tile_start, tile_count, tile_ids, pair_feat, fwd_out, g_out)
+    )(tile_start, tile_count, tile_ids, chunks_done, pair_feat, fwd_out, g_out, basis)
 
     # Rows never written by any tile (inter-segment gaps / capacity tail) may
     # hold garbage; their pair index is the sentinel N, so they fold into the

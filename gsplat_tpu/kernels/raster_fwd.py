@@ -93,6 +93,7 @@ def _fwd_kernel(
     py = (ty * tile_size + lin // tile_size).astype(jnp.float32)
 
     accum[0:3] = jnp.zeros((3, npix), jnp.float32)
+    accum[3:8] = jnp.zeros((5, npix), jnp.float32)
     accum[3:4] = jnp.ones((1, npix), jnp.float32)
 
     def get_dma(slot, c):
@@ -140,7 +141,7 @@ def _fwd_kernel(
             new_trans = process_chunk(c)
             return c + 1, jnp.max(new_trans) < early_stop
 
-        jax.lax.while_loop(
+        chunks_done, _ = jax.lax.while_loop(
             cond, body, (jnp.int32(0), jnp.zeros((), jnp.bool_))
         )
     else:
@@ -150,6 +151,11 @@ def _fwd_kernel(
             return ()
 
         jax.lax.fori_loop(0, nchunks, body, ())
+        chunks_done = nchunks
+    # Row 4 records how many chunks this tile composited before the
+    # transmittance collapsed; the backward kernel walks only those (the
+    # skipped tail contributed nothing, so its gradient is exactly zero).
+    accum[4:5] = jnp.full((1, npix), chunks_done.astype(jnp.float32))
     out_ref[0] = accum[:]
 
 
@@ -163,10 +169,12 @@ def forward_tiles_pallas(
     n_tiles_x: int,
     cfg: RasterConfig,
     interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Rasterize the given tiles with the Pallas kernel.
 
-    Returns (color [T, npix, 3], transmittance [T, npix]).
+    Returns (color [T, npix, 3], transmittance [T, npix], chunks_done [T]
+    int32 — chunks composited per tile before early termination; equals
+    ceil(count/chunk) when ``cfg.early_stop_transmittance == 0``).
     """
     ts = cfg.tile_size
     cs = cfg.chunk_size
@@ -215,4 +223,5 @@ def forward_tiles_pallas(
 
     color = jnp.moveaxis(out[:, 0:3, :], 1, 2)  # [T, npix, 3]
     trans = out[:, 3, :]  # [T, npix]
-    return color.astype(feat.dtype), trans.astype(feat.dtype)
+    chunks_done = out[:, 4, 0].astype(jnp.int32)  # [T]
+    return color.astype(feat.dtype), trans.astype(feat.dtype), chunks_done

@@ -227,6 +227,166 @@ def preprocess_active_mask(
     return nonzero_area & conic_ok
 
 
+def preprocess_gaussians_from_params(
+    means: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    opacity: jnp.ndarray,
+    rgb: jnp.ndarray,
+    w2c_t: jnp.ndarray,
+    full_proj_t: jnp.ndarray,
+    tan_fov_x,
+    tan_fov_y,
+    focal_x,
+    focal_y,
+    width: int,
+    height: int,
+    strict_parity: bool = True,
+) -> Preprocessed:
+    """Struct-of-arrays preprocess straight from raw activated parameters.
+
+    Mathematically identical to :func:`preprocess_gaussians` (same reference
+    parity, rasterize.py:370-425), but every intermediate is a flat ``[N]``
+    column. The AoS form materializes ``[N,3,3]`` / ``[N,2,3]`` / ``[N,2,2]``
+    arrays whose tiny minor dims get padded to whole (8,128) TPU tiles — a
+    ~100x HBM blowup per intermediate that made the preprocess (and its
+    autodiff transpose in the training step) bandwidth-bound. Here the 3x3
+    algebra is unrolled into scalar-coefficient column arithmetic, which XLA
+    fuses into a single dense elementwise pass.
+    """
+    f = means.dtype
+    x, y, z = means[:, 0], means[:, 1], means[:, 2]
+    sx, sy, sz = scales[:, 0], scales[:, 1], scales[:, 2]
+
+    # -- rotation columns from normalized quaternions (rasterize.py:41-56,
+    #    norm clamped at 1e-12 as torch's F.normalize does, :112) --
+    qw, qx, qy, qz = quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3]
+    inv_n = 1.0 / jnp.maximum(
+        jnp.sqrt(qw * qw + qx * qx + qy * qy + qz * qz), 1e-12
+    )
+    qw, qx, qy, qz = qw * inv_n, qx * inv_n, qy * inv_n, qz * inv_n
+    r00 = 1 - 2 * (qy * qy + qz * qz)
+    r01 = 2 * (qx * qy - qz * qw)
+    r02 = 2 * (qx * qz + qy * qw)
+    r10 = 2 * (qx * qy + qz * qw)
+    r11 = 1 - 2 * (qx * qx + qz * qz)
+    r12 = 2 * (qy * qz - qx * qw)
+    r20 = 2 * (qx * qz - qy * qw)
+    r21 = 2 * (qy * qz + qx * qw)
+    r22 = 1 - 2 * (qx * qx + qy * qy)
+
+    # -- 3D covariance components: Cov = (R S)(R S)^T (rasterize.py:89-120),
+    #    m_aj = r_aj * s_j, c_ab = sum_j m_aj * m_bj --
+    m00, m01, m02 = r00 * sx, r01 * sy, r02 * sz
+    m10, m11, m12 = r10 * sx, r11 * sy, r12 * sz
+    m20, m21, m22 = r20 * sx, r21 * sy, r22 * sz
+    c00 = m00 * m00 + m01 * m01 + m02 * m02
+    c01 = m00 * m10 + m01 * m11 + m02 * m12
+    c02 = m00 * m20 + m01 * m21 + m02 * m22
+    c11 = m10 * m10 + m11 * m11 + m12 * m12
+    c12 = m10 * m20 + m11 * m21 + m12 * m22
+    c22 = m20 * m20 + m21 * m21 + m22 * m22
+
+    # -- camera space + depth (rasterize.py:80-86; row-vector convention) --
+    cam_x = x * w2c_t[0, 0] + y * w2c_t[1, 0] + z * w2c_t[2, 0] + w2c_t[3, 0]
+    cam_y = x * w2c_t[0, 1] + y * w2c_t[1, 1] + z * w2c_t[2, 1] + w2c_t[3, 1]
+    depth = x * w2c_t[0, 2] + y * w2c_t[1, 2] + z * w2c_t[2, 2] + w2c_t[3, 2]
+    culled = depth < FRUSTUM_NEAR_Z
+
+    # -- clip/NDC/pixel projection (rasterize.py:374-391) --
+    def proj_col(j):
+        return (
+            x * full_proj_t[0, j]
+            + y * full_proj_t[1, j]
+            + z * full_proj_t[2, j]
+            + full_proj_t[3, j]
+        )
+
+    zero = jnp.zeros_like(x)
+    clip_x = jnp.where(culled, zero, proj_col(0))
+    clip_y = jnp.where(culled, zero, proj_col(1))
+    clip_w = jnp.where(culled, zero, proj_col(3))
+    inv_w = 1.0 / (clip_w + PERSPECTIVE_EPS)
+    mean_px = ((clip_x * inv_w + 1.0) * width - 1.0) / 2.0
+    mean_py = ((clip_y * inv_w + 1.0) * height - 1.0) / 2.0
+
+    # -- EWA projection (rasterize.py:201-252): J has two nonzero rows;
+    #    T = J W with W = w2c rotation, i.e. W[k, j] = w2c_t[j, k] --
+    fx = focal_x / 2.0
+    fy = focal_y / 2.0
+    lim_x = EWA_TAN_CLAMP * tan_fov_x
+    lim_y = EWA_TAN_CLAMP * tan_fov_y
+    inv_z = 1.0 / depth
+    tx_c = jnp.clip(cam_x * inv_z, -lim_x, lim_x) * depth
+    ty_c = jnp.clip(cam_y * inv_z, -lim_y, lim_y) * depth
+    j00 = fx * inv_z
+    j02 = -fx * tx_c * inv_z * inv_z
+    j11 = fy * inv_z
+    j12 = -fy * ty_c * inv_z * inv_z
+    t00 = j00 * w2c_t[0, 0] + j02 * w2c_t[0, 2]
+    t01 = j00 * w2c_t[1, 0] + j02 * w2c_t[1, 2]
+    t02 = j00 * w2c_t[2, 0] + j02 * w2c_t[2, 2]
+    t10 = j11 * w2c_t[0, 1] + j12 * w2c_t[0, 2]
+    t11 = j11 * w2c_t[1, 1] + j12 * w2c_t[1, 2]
+    t12 = j11 * w2c_t[2, 1] + j12 * w2c_t[2, 2]
+    # u_a = t_a . Sigma ; cov2d_ab = u_a . t_b  (Sigma symmetric)
+    u00 = t00 * c00 + t01 * c01 + t02 * c02
+    u01 = t00 * c01 + t01 * c11 + t02 * c12
+    u02 = t00 * c02 + t01 * c12 + t02 * c22
+    u10 = t10 * c00 + t11 * c01 + t12 * c02
+    u11 = t10 * c01 + t11 * c11 + t12 * c12
+    u12 = t10 * c02 + t11 * c12 + t12 * c22
+    cov_a = u00 * t00 + u01 * t01 + u02 * t02 + COV2D_LOWPASS
+    cov_b = u00 * t10 + u01 * t11 + u02 * t12
+    cov_c = u10 * t10 + u11 * t11 + u12 * t12 + COV2D_LOWPASS
+    # Culled gaussians get a zero covariance (rasterize.py:388) -> det == 0
+    # -> zero conic -> skipped by the raster loop.
+    cov_a = jnp.where(culled, zero, cov_a)
+    cov_b = jnp.where(culled, zero, cov_b)
+    cov_c = jnp.where(culled, zero, cov_c)
+
+    # -- conic (rasterize.py:395-411) --
+    det = cov_a * cov_c - cov_b * cov_b
+    det_inv = jnp.where(det == 0.0, zero, 1.0 / det)
+    conic_x = cov_c * det_inv
+    conic_y = cov_a * det_inv
+    conic_xy = -cov_b * det_inv
+
+    # -- covering bbox (rasterize.py:154-198, 413-419) --
+    trace = cov_a + cov_c
+    disc = jnp.maximum(trace * trace / 4.0 - det, EIGENVALUE_FLOOR)
+    sq = jnp.sqrt(disc)
+    max_spread = jnp.ceil(
+        GAUSSIAN_SPREAD * jnp.sqrt(jnp.maximum(trace / 2.0 + sq, trace / 2.0 - sq))
+    )
+    bs = float(BLOCK_SIZE)
+    x_min = jnp.floor(jnp.clip((mean_px - max_spread) / bs, 0, width - 1))
+    y_min = jnp.floor(jnp.clip((mean_py - max_spread) / bs, 0, height - 1))
+    x_max = jnp.floor(jnp.clip((mean_px + max_spread + bs - 1) / bs, 0, width - 1))
+    y_max = jnp.floor(jnp.clip((mean_py + max_spread + bs - 1) / bs, 0, height - 1))
+    x_min = jnp.clip(x_min.astype(jnp.int32) * BLOCK_SIZE, 0, width - 1)
+    y_min = jnp.clip(y_min.astype(jnp.int32) * BLOCK_SIZE, 0, height - 1)
+    x_max = jnp.clip(x_max.astype(jnp.int32) * BLOCK_SIZE, 0, width - 1)
+    y_max = jnp.clip(y_max.astype(jnp.int32) * BLOCK_SIZE, 0, height - 1)
+
+    area = (x_max - x_min) * (y_max - y_min)
+    if strict_parity:
+        conic_ok = (conic_x != 0.0) & (conic_y != 0.0) & (conic_xy != 0.0)
+    else:
+        conic_ok = (conic_x != 0.0) | (conic_y != 0.0) | (conic_xy != 0.0)
+    active = (area > 0) & conic_ok
+
+    return Preprocessed(
+        screen_means=jnp.stack([mean_px, mean_py], axis=-1),
+        conics=jnp.stack([conic_x, conic_y, conic_xy], axis=-1),
+        rgb=rgb,
+        opacity=opacity,
+        depth=depth,
+        bbox=jnp.stack([x_min, y_min, x_max, y_max], axis=-1),
+        active=active,
+    )
+
+
 def preprocess_gaussians(
     means: jnp.ndarray,
     cov3d: jnp.ndarray,

@@ -26,7 +26,7 @@ from gsplat_tpu.models.gaussians import GaussianModel
 from gsplat_tpu.ops import binning
 from gsplat_tpu.ops.camera import CameraArrays, CameraParams
 from gsplat_tpu.ops.compositing import render_oracle
-from gsplat_tpu.ops.projection import Preprocessed, preprocess_gaussians
+from gsplat_tpu.ops.projection import Preprocessed, preprocess_gaussians_from_params
 from gsplat_tpu.ops.sh import sh_to_rgb
 from gsplat_tpu.render.tile_jnp import tiles_to_image
 
@@ -40,9 +40,10 @@ def preprocess_traced(
 ) -> Preprocessed:
     """Per-gaussian preprocess for one (traced) camera (rasterize.py:353-425)."""
     rgb = sh_to_rgb(model.means, model.sh, cam.cam_center, degree=cfg.sh_degree)
-    return preprocess_gaussians(
+    return preprocess_gaussians_from_params(
         means=model.means,
-        cov3d=model.covariances(),
+        scales=model.scales(),
+        quats=model.quats,
         opacity=model.opacity(),
         rgb=rgb,
         w2c_t=cam.w2c_t,

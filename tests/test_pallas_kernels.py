@@ -42,7 +42,7 @@ def test_forward_kernel_matches_jnp(binned):
     col_j, trans_j = forward_tiles_jnp(
         feat, bins.pair_gaussian, bins.tile_start, bins.tile_count, tile_ids, NTX, CFG
     )
-    col_p, trans_p = forward_tiles_pallas(
+    col_p, trans_p, _ = forward_tiles_pallas(
         feat, bins.pair_gaussian, bins.tile_start, bins.tile_count, tile_ids,
         NTX, CFG, interpret=True,
     )
@@ -72,7 +72,11 @@ def test_backward_kernel_matches_jnp(binned):
     want = np.asarray(d_jnp)[:-1]
     assert np.isfinite(got).all()
     scale = np.abs(want).max() + 1e-8
-    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6 * scale)
+    # The kernel reduces via tile-centered pixel moments (one MXU matmul)
+    # rather than direct Σ over dx-form integrands; the binomial
+    # re-expansion re-orders f32 roundings, so tolerances are a bit looser
+    # than bitwise-reduction parity would allow.
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-5 * scale)
 
 
 def test_forward_kernel_early_stop(binned):
@@ -83,11 +87,11 @@ def test_forward_kernel_early_stop(binned):
     cfg_es = RasterConfig(
         tile_size=16, chunk_size=8, max_pairs=4096, early_stop_transmittance=1e-4
     )
-    col_ref, _ = forward_tiles_pallas(
+    col_ref, _, _ = forward_tiles_pallas(
         feat, bins.pair_gaussian, bins.tile_start, bins.tile_count, tile_ids,
         NTX, CFG, interpret=True,
     )
-    col_es, _ = forward_tiles_pallas(
+    col_es, _, _ = forward_tiles_pallas(
         feat, bins.pair_gaussian, bins.tile_start, bins.tile_count, tile_ids,
         NTX, cfg_es, interpret=True,
     )
@@ -103,7 +107,7 @@ def test_kernels_with_sharded_tile_ids(binned):
         feat, bins.pair_gaussian, bins.tile_start, bins.tile_count, tile_ids, NTX, CFG
     )
     sel = jnp.asarray([3, 1, 5], dtype=jnp.int32)
-    col_p, _ = forward_tiles_pallas(
+    col_p, _, _ = forward_tiles_pallas(
         feat, bins.pair_gaussian[...], bins.tile_start[sel], bins.tile_count[sel],
         sel, NTX, CFG, interpret=True,
     )
