@@ -51,6 +51,10 @@ class RasterConfig:
     early_stop_transmittance: float = 0.0
     strict_parity: bool = True
     use_pallas: bool = True
+    # True: per-gaussian gradients reduce with an exact (slow on TPU)
+    # segment_sum; False: sort + cumsum-difference reduction (~5x faster,
+    # reorders f32 additions — ~1e-5 relative noise on the gradient scale).
+    exact_grad_reduction: bool = False
 
     @property
     def pixels_per_tile(self) -> int:

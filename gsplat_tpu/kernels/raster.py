@@ -51,7 +51,8 @@ def _forward_impl(feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles
 
 def _backward_impl(
     feat, pair_gaussian, tile_start, tile_count, tile_ids,
-    color_tiles, trans_tiles, g_color, g_trans, chunks_done, n_tiles_x, cfg,
+    color_tiles, trans_tiles, g_color, g_trans, chunks_done, gaussian_counts,
+    n_tiles_x, cfg,
 ):
     if _use_pallas(cfg):
         from gsplat_tpu.kernels.raster_bwd import backward_tiles_pallas
@@ -59,7 +60,7 @@ def _backward_impl(
         return backward_tiles_pallas(
             feat, pair_gaussian, tile_start, tile_count, tile_ids,
             color_tiles, trans_tiles, g_color, g_trans, n_tiles_x, cfg,
-            chunks_done=chunks_done,
+            chunks_done=chunks_done, gaussian_counts=gaussian_counts,
         )
     from gsplat_tpu.render.tile_jnp import backward_tiles_jnp
 
@@ -69,13 +70,14 @@ def _backward_impl(
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def rasterize_tiles(
     feat: jnp.ndarray,
     pair_gaussian: jnp.ndarray,
     tile_start: jnp.ndarray,
     tile_count: jnp.ndarray,
     tile_ids: jnp.ndarray,
+    gaussian_counts: jnp.ndarray,
     n_tiles_x: int,
     cfg: RasterConfig,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -85,6 +87,8 @@ def rasterize_tiles(
       feat: ``[N+1, 16]`` packed per-gaussian features (ops.binning).
       pair_gaussian / tile_start / tile_count: binning result (chunk-aligned).
       tile_ids: ``[T]`` global tile indices to rasterize.
+      gaussian_counts: ``[N]`` kept pairs per gaussian in id order
+        (binning); drives the backward's sort-based gradient reduction.
       n_tiles_x, cfg: static.
     Returns:
       (color ``[T, npix, 3]``, transmittance ``[T, npix]``).
@@ -95,13 +99,13 @@ def rasterize_tiles(
     return color, trans
 
 
-def _fwd(feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles_x, cfg):
+def _fwd(feat, pair_gaussian, tile_start, tile_count, tile_ids, gaussian_counts, n_tiles_x, cfg):
     color, trans, chunks_done = _forward_impl(
         feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles_x, cfg
     )
     residuals = (
         feat, pair_gaussian, tile_start, tile_count, tile_ids,
-        color, trans, chunks_done,
+        gaussian_counts, color, trans, chunks_done,
     )
     return (color, trans), residuals
 
@@ -113,12 +117,13 @@ def _int_zero_cotangent(x):
 def _bwd(n_tiles_x, cfg, residuals, cotangents):
     (
         feat, pair_gaussian, tile_start, tile_count, tile_ids,
-        color, trans, chunks_done,
+        gaussian_counts, color, trans, chunks_done,
     ) = residuals
     g_color, g_trans = cotangents
     d_feat = _backward_impl(
         feat, pair_gaussian, tile_start, tile_count, tile_ids,
-        color, trans, g_color, g_trans, chunks_done, n_tiles_x, cfg,
+        color, trans, g_color, g_trans, chunks_done, gaussian_counts,
+        n_tiles_x, cfg,
     )
     return (
         d_feat,
@@ -126,6 +131,7 @@ def _bwd(n_tiles_x, cfg, residuals, cotangents):
         _int_zero_cotangent(tile_start),
         _int_zero_cotangent(tile_count),
         _int_zero_cotangent(tile_ids),
+        _int_zero_cotangent(gaussian_counts),
     )
 
 

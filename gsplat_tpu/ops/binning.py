@@ -44,6 +44,9 @@ class TileBinning(NamedTuple):
       num_pairs: scalar int32 — pairs actually generated (<= capacity unless
         overflowed; compare with ``capacity`` to detect truncation).
       depth_order: ``[N]`` int32 — gaussian indices sorted by camera depth.
+      gaussian_counts: ``[N]`` int32 — kept pairs per gaussian in *gaussian id*
+        order (the backward's sort-based pair->gaussian gradient reduction
+        derives its segment boundaries from this).
     """
 
     pair_gaussian: jnp.ndarray
@@ -51,6 +54,7 @@ class TileBinning(NamedTuple):
     tile_count: jnp.ndarray
     num_pairs: jnp.ndarray
     depth_order: jnp.ndarray
+    gaussian_counts: jnp.ndarray
 
 
 def tile_ranges(bbox: jnp.ndarray, tile_size: int, n_tiles_x: int, n_tiles_y: int):
@@ -123,7 +127,7 @@ def bin_gaussians(
     # 1. Depth order (ascending camera z => front-to-back), carrying every
     #    per-gaussian column through the ONE sort (no post-sort gathers).
     iota_n = jax.lax.broadcasted_iota(i32, (n, 1), 0).squeeze(-1)
-    _, depth_order, counts_d, tx0_d, ty0_d, ntx_d = jax.lax.sort(
+    depth_d, depth_order, counts_d, tx0_d, ty0_d, ntx_d = jax.lax.sort(
         (prep.depth, iota_n, counts, tx0, ty0, ntx), num_keys=1, is_stable=True
     )
 
@@ -134,8 +138,21 @@ def bin_gaussians(
     # Overflow policy: a gaussian whose segment does not fully fit in the
     # pair buffer is dropped entirely (deepest-first, so the closest splats
     # win). This keeps the histogram below an exact description of the
-    # emitted multiset of pairs.
-    keep_d = (offsets + counts_d <= max_pairs) & (counts_d > 0)
+    # emitted multiset of pairs. `fits` is a prefix in depth order (offsets
+    # are monotone), so the kept set is exactly "lexicographically before
+    # the last fitting (depth, id)" — which gives kept pair counts in
+    # *gaussian id* order elementwise, with no scatter.
+    fits_d = offsets + counts_d <= max_pairs
+    keep_d = fits_d & (counts_d > 0)
+    k_fit = jnp.sum(fits_d.astype(i32))
+    last = jnp.maximum(k_fit - 1, 0)
+    thresh_depth = jax.lax.dynamic_index_in_dim(depth_d, last, keepdims=False)
+    thresh_id = jax.lax.dynamic_index_in_dim(depth_order, last, keepdims=False)
+    keep_id = (prep.depth < thresh_depth) | (
+        (prep.depth == thresh_depth) & (iota_n <= thresh_id)
+    )
+    keep_id &= k_fit > 0
+    gaussian_counts = jnp.where(keep_id, counts, 0)
 
     # 2. Recover, for every pair slot, its owning gaussian's segment data:
     #    scatter each kept segment's depth rank at its start offset,
@@ -217,6 +234,7 @@ def bin_gaussians(
         tile_count=tile_count,
         num_pairs=num_pairs,
         depth_order=depth_order,
+        gaussian_counts=gaussian_counts,
     )
 
 

@@ -90,15 +90,16 @@ def make_sharded_render(
     n_tiles_x, num_tiles, padded, order = _tile_layout(width, height, cfg.tile_size, tp)
     order_j = jnp.asarray(order, jnp.int32)
 
-    def raster_shard(feat, pair_gaussian, tile_start, tile_count, tile_ids):
+    def raster_shard(feat, pair_gaussian, tile_start, tile_count, tile_ids, gaussian_counts):
         return rasterize_tiles(
-            feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles_x, cfg
+            feat, pair_gaussian, tile_start, tile_count, tile_ids,
+            gaussian_counts, n_tiles_x, cfg,
         )
 
     sharded_raster = jax.shard_map(
         raster_shard,
         mesh=mesh,
-        in_specs=(P(), P(), P(TILE_AXIS), P(TILE_AXIS), P(TILE_AXIS)),
+        in_specs=(P(), P(), P(TILE_AXIS), P(TILE_AXIS), P(TILE_AXIS), P()),
         out_specs=(P(TILE_AXIS), P(TILE_AXIS)),
         check_vma=False,  # loop carries start mesh-invariant, become varying
     )
@@ -107,7 +108,9 @@ def make_sharded_render(
     def render_fn(model: GaussianModel, cam: CameraArrays):
         feat, bins = _bin_for_camera(model, cam, width, height, cfg)
         starts, counts = _gather_shard_inputs(bins, order_j, num_tiles)
-        color, trans = sharded_raster(feat, bins.pair_gaussian, starts, counts, order_j)
+        color, trans = sharded_raster(
+            feat, bins.pair_gaussian, starts, counts, order_j, bins.gaussian_counts
+        )
         color = _unpermute(color, order_j, padded, num_tiles)
         trans = _unpermute(trans, order_j, padded, num_tiles)
         return (
@@ -165,8 +168,8 @@ def make_parallel_train_step(
             feat, bins = _bin_for_camera(model, cam, width, height, raster_cfg)
             starts, counts = _gather_shard_inputs(bins, order_l, num_tiles)
             color, _ = rasterize_tiles(
-                feat, bins.pair_gaussian, starts, counts, order_l, n_tiles_x,
-                raster_cfg,
+                feat, bins.pair_gaussian, starts, counts, order_l,
+                bins.gaussian_counts, n_tiles_x, raster_cfg,
             )
             npixels = width * height * 3
             mse = jnp.sum(((color - target_tiles) ** 2) * mask_l[:, :, None]) / npixels

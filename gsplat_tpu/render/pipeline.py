@@ -92,7 +92,7 @@ def render_traced(
     tile_ids = jnp.arange(n_tiles_x * n_tiles_y, dtype=jnp.int32)
     color, trans = rasterize_tiles(
         feat, bins.pair_gaussian, bins.tile_start, bins.tile_count,
-        tile_ids, n_tiles_x, cfg,
+        tile_ids, bins.gaussian_counts, n_tiles_x, cfg,
     )
     return (
         tiles_to_image(color, width, height, cfg.tile_size),

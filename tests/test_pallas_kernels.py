@@ -78,6 +78,17 @@ def test_backward_kernel_matches_jnp(binned):
     # than bitwise-reduction parity would allow.
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-5 * scale)
 
+    # The sort-based pair->gaussian reduction (production path) must agree
+    # with the exact segment_sum path up to f32 cumsum reordering.
+    d_sorted = backward_tiles_pallas(
+        feat, bins.pair_gaussian, bins.tile_start, bins.tile_count, tile_ids,
+        color, trans, g_color, g_trans, NTX, CFG,
+        gaussian_counts=bins.gaussian_counts, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_sorted)[:-1, :9], got[:, :9], rtol=5e-4, atol=1e-5 * scale
+    )
+
 
 def test_forward_kernel_early_stop(binned):
     """Early termination must not visibly change a converged image."""
