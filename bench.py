@@ -23,7 +23,9 @@ import numpy as np
 
 WIDTH, HEIGHT = 1920, 1080
 NUM_GAUSSIANS = 1_000_000
-MAX_PAIRS = 1 << 22
+# ~1.1M pairs survive binning for this scene; 2M capacity leaves 1.9x
+# headroom while keeping the P-scale sort/scan/gather costs tight.
+MAX_PAIRS = 1 << 21
 BASELINE_FPS = 1.0 / 300.0  # reference: ~5 min per forward-only frame
 
 

@@ -73,13 +73,13 @@ def main():
     g_color = jnp.ones_like(color) * 0.1
     g_trans = jnp.zeros_like(trans)
     bwd_fn = jax.jit(
-        lambda f, pg, ts, tc, c, t, gc, gt, cd: _backward_impl(
-            f, pg, ts, tc, tile_ids, c, t, gc, gt, cd, n_tiles_x, cfg
+        lambda f, pg, ts, tc, c, t, gc, gt, cd, gcounts: _backward_impl(
+            f, pg, ts, tc, tile_ids, c, t, gc, gt, cd, gcounts, n_tiles_x, cfg
         )
     )
     t_bwd, _ = timed(
         bwd_fn, feat, bins.pair_gaussian, bins.tile_start, bins.tile_count,
-        color, trans, g_color, g_trans, chunks_done,
+        color, trans, g_color, g_trans, chunks_done, bins.gaussian_counts,
     )
 
     # Full fwd+bwd for reference.
