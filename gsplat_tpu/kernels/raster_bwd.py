@@ -3,8 +3,8 @@
 Computes d(loss)/d(packed per-gaussian features) for the tile compositor.
 Same grid/tile/DMA structure as the forward (raster_fwd.py), but each chunk
 additionally writes a [chunk, 16] per-pair gradient slab back to HBM; the
-caller reduces per-pair gradients to per-gaussian gradients with one
-segment-sum over the pair->gaussian index map.
+host side then reduces per-pair gradients to per-gaussian gradients with a
+sort-based segmented cumsum (see backward_tiles_pallas).
 
 Numerical design — the gradient walk runs *front-to-back*, in the exact
 order and with the exact intermediate values of the forward pass (a
@@ -27,15 +27,11 @@ the reference (rasterize.py:291-303).
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-# Timing-only ablation switch for scripts/bwd_variants.py; "" in production.
-_ABLATE = os.environ.get("GSPLAT_BWD_ABLATE", "none")
 
 from gsplat_tpu.config import MAX_GAUSSIAN_DENSITY, MIN_ALPHA, RasterConfig
 from gsplat_tpu.kernels.scans import cumprod_inclusive, cumsum_inclusive, exclusive_from_inclusive
@@ -77,10 +73,6 @@ def _bwd_kernel(
     # tail's gradient is exactly zero (those pairs never touched the output),
     # so those chunks only write zero slabs — no feature DMA, no compute.
     done = jnp.minimum(chunks_done_ref[t], nchunks)
-    if _ABLATE == "quarter":
-        done = nchunks // 4
-    elif _ABLATE == "allchunks":
-        done = nchunks
 
     tx = tid % n_tiles_x
     ty = tid // n_tiles_x
@@ -123,28 +115,23 @@ def _bwd_kernel(
 
         # Double-buffered write-back: make sure this slot's previous DMA
         # (from chunk c-2) has drained before overwriting the scratch.
-        if _ABLATE != "nowait" and _ABLATE != "nodma":
-            @pl.when(c >= 2)
-            def _():
-                put_dma(slot, c - 2).wait()
+        @pl.when(c >= 2)
+        def _():
+            put_dma(slot, c - 2).wait()
 
-        if _ABLATE == "nocond":
+        @pl.when(c < done)
+        def _():
             compute_chunk(c, slot)
-        else:
-            @pl.when(c < done)
-            def _():
-                compute_chunk(c, slot)
 
-            @pl.when(c >= done)
-            def _():
-                gslab[slot] = jnp.zeros((cs, 128), jnp.float32)
+        @pl.when(c >= done)
+        def _():
+            gslab[slot] = jnp.zeros((cs, 128), jnp.float32)
 
-        if _ABLATE != "nodma":
-            put_dma(slot, c).start()
+        put_dma(slot, c).start()
         return ()
 
     def compute_chunk(c, slot):
-        @pl.when(c + 1 < (nchunks if _ABLATE == "nocond" else done))
+        @pl.when(c + 1 < done)
         def _():
             get_dma(1 - slot, c + 1).start()
 
@@ -173,10 +160,6 @@ def _bwd_kernel(
         cum = cumprod_inclusive(one_minus)
         t_k = exclusive_from_inclusive(cum, 1.0) * carry[1:2]  # T in front of k
         w = a * t_k
-        if _ABLATE == "fwdlike":
-            carry[1:2] = carry[1:2] * cum[-1:]
-            gslab[slot] = jnp.broadcast_to(w[:, 0:1], (cs, 128))
-            return
         inv_om = 1.0 / one_minus
 
         # --- dL/d(alpha_k) ---
@@ -192,12 +175,9 @@ def _bwd_kernel(
             col(B.FEAT_R) * g_r + col(B.FEAT_G) * g_g + col(B.FEAT_B) * g_b
         )  # [cs, npix]
         wu = w * u
-        cum_wu = wu if _ABLATE == "noscan" else cumsum_inclusive(wu)
+        cum_wu = cumsum_inclusive(wu)
         s_behind_g = carry[0:1] - cum_wu  # Σ_ch g_ch * S_behind at k
-        if _ABLATE == "noda":
-            d_a = u
-        else:
-            d_a = u * t_k - (s_behind_g + g_trans_term) * inv_om
+        d_a = u * t_k - (s_behind_g + g_trans_term) * inv_om
         d_a = jnp.where(valid, d_a, 0.0)
         gw = [g_r * w, g_g * w, g_b * w]  # matmul rows for d_rgb
         carry[0:1] = carry[0:1] - cum_wu[-1:]
@@ -214,17 +194,13 @@ def _bwd_kernel(
         # bounded magnitudes keep the binomial re-expansion of Σ d*(mx-px)^k
         # well-conditioned), plus the ones-column row-sums of g_ch * w for
         # d_rgb. One [4*cs, npix] @ [npix, 128] matmul total.
-        if _ABLATE == "nomatmul":
-            mom = jnp.broadcast_to(d_density[:, 0:128], (cs, 128))
-            mom = jnp.concatenate([mom] * 4, axis=0)
-        else:
-            lhs = jnp.concatenate([d_density] + gw, axis=0)  # [4*cs, npix]
-            mom = jax.lax.dot_general(
-                lhs, basis_ref[...],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [4*cs, 128]
+        lhs = jnp.concatenate([d_density] + gw, axis=0)  # [4*cs, npix]
+        mom = jax.lax.dot_general(
+            lhs, basis_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [4*cs, 128]
         s1 = mom[0:cs, 0:1]  # Σ d
         spx = mom[0:cs, 1:2]  # Σ d*px
         spy = mom[0:cs, 2:3]  # Σ d*py
@@ -264,15 +240,13 @@ def _bwd_kernel(
     jax.lax.fori_loop(0, nchunks, body, ())
 
     # Drain outstanding write DMAs.
-    if _ABLATE != "nodma":
+    @pl.when(nchunks >= 2)
+    def _():
+        put_dma(jax.lax.rem(nchunks - 2, 2), nchunks - 2).wait()
 
-        @pl.when(nchunks >= 2)
-        def _():
-            put_dma(jax.lax.rem(nchunks - 2, 2), nchunks - 2).wait()
-
-        @pl.when(nchunks >= 1)
-        def _():
-            put_dma(jax.lax.rem(nchunks - 1, 2), nchunks - 1).wait()
+    @pl.when(nchunks >= 1)
+    def _():
+        put_dma(jax.lax.rem(nchunks - 1, 2), nchunks - 1).wait()
 
 
 @functools.partial(
