@@ -43,7 +43,13 @@ def write_frames(output_path: str, frames: List[np.ndarray]) -> List[str]:
 
 
 def encode_video(output_path: str, width: int, height: int) -> str:
-    """Encode images/image_iter_*.png into video_render.mp4 via ffmpeg."""
+    """Encode images/image_iter_*.png into video_render.mp4 via ffmpeg
+    (libx264/yuv420p/even-dims, rasterize.py:462-466). Falls back to a
+    dependency-free MJPEG AVI when ffmpeg is unavailable."""
+    import shutil
+
+    if shutil.which("ffmpeg") is None:
+        return encode_mjpeg_avi(output_path)
     video_path = os.path.join(output_path, "video_render.mp4")
     if os.path.exists(video_path):
         os.remove(video_path)
@@ -59,6 +65,70 @@ def encode_video(output_path: str, width: int, height: int) -> str:
         video_path,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
+    return video_path
+
+
+def encode_mjpeg_avi(output_path: str) -> str:
+    """Pure-Python video encoder: pack the PNG frames as a Motion-JPEG AVI
+    (RIFF 'AVI ' + 'MJPG' fourcc — playable by every mainstream player).
+    Used when ffmpeg is not on PATH."""
+    import glob
+    import struct
+
+    from PIL import Image
+    import io as _io
+
+    frame_paths = sorted(glob.glob(os.path.join(output_path, "images", "image_iter_*.png")))
+    if not frame_paths:
+        raise FileNotFoundError(f"no frames under {output_path}/images")
+
+    jpegs = []
+    with Image.open(frame_paths[0]) as first:
+        width, height = first.size
+    for p in frame_paths:
+        buf = _io.BytesIO()
+        with Image.open(p) as im:
+            im.convert("RGB").save(buf, "JPEG", quality=92)
+        data = buf.getvalue()
+        jpegs.append(data + (b"\x00" if len(data) % 2 else b""))
+
+    fps = OUTPUT_FRAMERATE
+    n = len(jpegs)
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(payload)) + payload
+
+    def lst(fourcc: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + payload)
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, 0, 0, 0x10, n, 0, 1, 0, width, height, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        # flags, priority, language, initialFrames, scale, rate, start,
+        # length, suggestedBufferSize, quality, sampleSize
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, 0, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+
+    movi_payload = b"".join(chunk(b"00dc", j) for j in jpegs)
+    movi = lst(b"movi", movi_payload)
+
+    # idx1 index (offsets relative to the start of 'movi' fourcc + 4)
+    idx = b""
+    off = 4
+    for j in jpegs:
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(j))
+        off += 8 + len(j)
+    idx1 = chunk(b"idx1", idx)
+
+    riff_payload = b"AVI " + hdrl + movi + idx1
+    video_path = os.path.join(output_path, "video_render.avi")
+    with open(video_path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", len(riff_payload)) + riff_payload)
     return video_path
 
 
