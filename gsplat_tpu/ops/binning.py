@@ -121,7 +121,9 @@ def bin_gaussians(
     num_tiles = n_tiles_x * n_tiles_y
     i32 = jnp.int32
 
-    tx0, ty0, ntx, nty = tile_ranges(prep.bbox, tile_size, n_tiles_x, n_tiles_y)
+    # Bin against the alpha-cull rect (subset of the reference bbox whose
+    # excluded tiles provably contribute nothing; ops/projection.py).
+    tx0, ty0, ntx, nty = tile_ranges(prep.cull_bbox, tile_size, n_tiles_x, n_tiles_y)
     counts = jnp.where(prep.active, ntx * nty, 0).astype(i32)
 
     # 1. Depth order (ascending camera z => front-to-back), carrying every

@@ -203,8 +203,38 @@ class Preprocessed(NamedTuple):
     rgb: jnp.ndarray  # [N, 3] view-dependent color
     opacity: jnp.ndarray  # [N] activated opacity
     depth: jnp.ndarray  # [N] camera-space z (sort key)
-    bbox: jnp.ndarray  # [N, 4] int pixel bbox, half-open
+    bbox: jnp.ndarray  # [N, 4] int pixel bbox, half-open (reference-exact;
+    #   the rasterizer's containment test uses THIS rect)
+    cull_bbox: jnp.ndarray  # [N, 4] int pixel rect for tile binning only:
+    #   bbox intersected with the opacity-aware alpha-bound rect (pixels
+    #   outside it provably fail the reference's alpha > 1/255 gate, so
+    #   dropping whole tiles outside it cannot change the image)
     active: jnp.ndarray  # [N] bool: participates in rasterization
+
+
+def _alpha_cull_bbox(
+    mean_px, mean_py, cov_a, cov_c, opacity, bbox, width: int, height: int
+):
+    """Tile-cull rect: the reference composites a pixel only when
+    ``alpha = opac * exp(density) > 1/255`` (rasterize.py:291). Minimizing
+    the quadratic form over one axis gives ``density <= -dx^2 / (2*Sigma_xx)``,
+    so every pixel with ``|dx| > sqrt(2*Sigma_xx*ln(255*opac))`` fails the
+    gate regardless of dy (same for y with Sigma_yy). Intersecting the
+    reference bbox with this rect (plus a 1px guard for f32 rounding at the
+    gate threshold) is therefore exactness-preserving — it only removes
+    (gaussian, tile) pairs whose every pixel contributes exactly zero."""
+    log_gate = jnp.log(jnp.maximum(opacity, 1e-30) * 255.0)
+    live = log_gate > 0.0  # opac <= 1/255 never passes the gate at all
+    guard = 1.0
+    rx = jnp.sqrt(2.0 * jnp.maximum(cov_a, 0.0) * jnp.maximum(log_gate, 0.0)) + guard
+    ry = jnp.sqrt(2.0 * jnp.maximum(cov_c, 0.0) * jnp.maximum(log_gate, 0.0)) + guard
+    cx_min = jnp.maximum(bbox[:, 0], jnp.ceil(mean_px - rx).astype(jnp.int32))
+    cy_min = jnp.maximum(bbox[:, 1], jnp.ceil(mean_py - ry).astype(jnp.int32))
+    cx_max = jnp.minimum(bbox[:, 2], jnp.floor(mean_px + rx).astype(jnp.int32) + 1)
+    cy_max = jnp.minimum(bbox[:, 3], jnp.floor(mean_py + ry).astype(jnp.int32) + 1)
+    cx_max = jnp.where(live, cx_max, cx_min)  # empty rect => zero tiles
+    cy_max = jnp.where(live, cy_max, cy_min)
+    return jnp.stack([cx_min, cy_min, cx_max, cy_max], axis=-1)
 
 
 def preprocess_active_mask(
@@ -376,13 +406,17 @@ def preprocess_gaussians_from_params(
         conic_ok = (conic_x != 0.0) | (conic_y != 0.0) | (conic_xy != 0.0)
     active = (area > 0) & conic_ok
 
+    bbox = jnp.stack([x_min, y_min, x_max, y_max], axis=-1)
     return Preprocessed(
         screen_means=jnp.stack([mean_px, mean_py], axis=-1),
         conics=jnp.stack([conic_x, conic_y, conic_xy], axis=-1),
         rgb=rgb,
         opacity=opacity,
         depth=depth,
-        bbox=jnp.stack([x_min, y_min, x_max, y_max], axis=-1),
+        bbox=bbox,
+        cull_bbox=_alpha_cull_bbox(
+            mean_px, mean_py, cov_a, cov_c, opacity, bbox, width, height
+        ),
         active=active,
     )
 
@@ -423,5 +457,9 @@ def preprocess_gaussians(
         opacity=opacity,
         depth=depth,
         bbox=bbox,
+        cull_bbox=_alpha_cull_bbox(
+            screen_means[:, 0], screen_means[:, 1],
+            cov2d[:, 0, 0], cov2d[:, 1, 1], opacity, bbox, width, height,
+        ),
         active=active,
     )

@@ -29,7 +29,7 @@ def main():
     cam = CameraArrays.from_params(camera)
     target = jnp.zeros((HEIGHT, WIDTH, 3), jnp.float32) + 0.25
 
-    for ts, cs in [(32, 32), (32, 64), (32, 128), (16, 64), (16, 128)]:
+    for ts, cs in [(32, 32), (16, 32), (16, 64), (32, 16)]:
         cfg = RasterConfig(
             tile_size=ts, chunk_size=cs, max_pairs=MAX_PAIRS,
             early_stop_transmittance=1e-4, strict_parity=True, use_pallas=True,

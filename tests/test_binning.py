@@ -33,6 +33,7 @@ def make_prep(means_xy, radii, depths, active=None, width=64, height=64):
         opacity=jnp.ones((n,), jnp.float32),
         depth=jnp.asarray(depths, jnp.float32),
         bbox=jnp.asarray(bbox),
+        cull_bbox=jnp.asarray(bbox),  # no alpha culling in hand-built cases
         active=jnp.asarray(active),
     )
 
