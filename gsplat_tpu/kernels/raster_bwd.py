@@ -199,6 +199,8 @@ def _bwd_kernel(
             lhs, basis_ref[...],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            # Mosaic supports DEFAULT (1-pass bf16: ~0.4% rounding, too
+            # noisy for gradients) and HIGHEST (6-pass, f32-exact) only.
             precision=jax.lax.Precision.HIGHEST,
         )  # [4*cs, 128]
         s1 = mom[0:cs, 0:1]  # Σ d

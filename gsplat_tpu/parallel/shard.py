@@ -136,9 +136,9 @@ def make_parallel_train_step(
         the data axis) and pre-tiled targets [B, padded_tiles, npix, 3]
         (from ``prepare_targets``), and applies one optimizer update from
         gradients psum'd over the whole mesh.
-      * loss is (1-w)*L1 + w*(1-SSIM) when the tile axis is 1 (each device
-        sees whole images); with tile sharding it falls back to pure L1 —
-        SSIM's 11x11 window would need a halo exchange (future work).
+      * loss is (1-w)*L1 + w*(1-SSIM); under tile sharding the frame is
+        all-gathered across the tile axis for the windowed SSIM term (one
+        image of ICI traffic per camera).
     """
     dp = mesh.shape[DATA_AXIS]
     tp = mesh.shape[TILE_AXIS]
@@ -173,19 +173,33 @@ def make_parallel_train_step(
             )
             npixels = width * height * 3
             mse = jnp.sum(((color - target_tiles) ** 2) * mask_l[:, :, None]) / npixels
-            if tp == 1 and train_cfg.ssim_weight > 0.0:
+            if train_cfg.ssim_weight > 0.0:
+                if tp == 1:
+                    color_full, target_full = color, target_tiles
+                else:
+                    # SSIM's 11x11 window crosses tile-shard boundaries, so
+                    # assemble the full frame on every tile shard (one image
+                    # of ICI traffic per camera; its autodiff transpose is a
+                    # reduce-scatter of the image cotangent). The whole-image
+                    # loss is then replicated across the tile axis — divide
+                    # by tp so the later psum averages instead of summing.
+                    color_full = jax.lax.all_gather(
+                        color, TILE_AXIS, axis=0, tiled=True
+                    )
+                    target_full = jax.lax.all_gather(
+                        target_tiles, TILE_AXIS, axis=0, tiled=True
+                    )
+                order_full = jnp.asarray(order_np, jnp.int32)
                 image = tiles_to_image(
-                    _unpermute(color, order_l, padded, num_tiles),
+                    _unpermute(color_full, order_full, padded, num_tiles),
                     width, height, raster_cfg.tile_size,
                 )
                 target = tiles_to_image(
-                    _unpermute(target_tiles, order_l, padded, num_tiles),
+                    _unpermute(target_full, order_full, padded, num_tiles),
                     width, height, raster_cfg.tile_size,
                 )
-                loss = rgb_loss(image, target, train_cfg.ssim_weight)
+                loss = rgb_loss(image, target, train_cfg.ssim_weight) / tp
             else:
-                # Pure L1 under tile sharding: SSIM's 11x11 window would
-                # need a halo exchange between tile shards (future work).
                 loss = (
                     jnp.sum(jnp.abs(color - target_tiles) * mask_l[:, :, None])
                     / npixels
@@ -196,10 +210,6 @@ def make_parallel_train_step(
         batch = losses.shape[0] * dp
         loss = jax.lax.psum(jnp.sum(losses), (DATA_AXIS, TILE_AXIS)) / batch
         mse = jax.lax.psum(jnp.sum(mses), (DATA_AXIS, TILE_AXIS)) / batch
-        if tp == 1 and train_cfg.ssim_weight > 0.0:
-            # Whole-image losses were already means; the tile-axis psum was a
-            # no-op (tp == 1), so no correction needed.
-            pass
         return loss, mse
 
     sharded_loss = jax.shard_map(

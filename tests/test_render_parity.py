@@ -71,6 +71,27 @@ def test_determinism(scene):
     np.testing.assert_array_equal(a, b)
 
 
+def test_alpha_cull_exactness_on_big_transparent_splats():
+    """Opacity-aware tile culling (ops/projection._alpha_cull_bbox) stresses:
+    large anisotropic splats at low opacity cull most of their 3-sigma bbox's
+    tiles, which must not change the image vs the reference at all."""
+    from reference_harness import reference_render
+
+    rng = np.random.default_rng(13)
+    arrays = random_splat_arrays(rng, 80)
+    arrays["log_scales"] = rng.uniform(-2.0, 0.3, arrays["log_scales"].shape).astype(
+        np.float32
+    )  # big splats spanning many tiles
+    arrays["opacity_logits"] = rng.uniform(-6.0, -2.0, arrays["opacity_logits"].shape).astype(
+        np.float32
+    )  # opacities ~0.002..0.12: cull radius far inside 3 sigma
+    camera = orbit_camera(0.1, width=96, height=64)
+    model = GaussianModel.from_arrays(arrays)
+    ref_img, _ = reference_render(arrays, camera)
+    img, _ = render(model, camera, RasterConfig(tile_size=16, chunk_size=8, max_pairs=1 << 15, use_pallas=False))
+    np.testing.assert_allclose(np.asarray(img), ref_img, rtol=1e-3, atol=2e-4)
+
+
 def test_culled_scene_renders_black():
     """All gaussians behind the camera -> empty image, full transmittance."""
     rng = np.random.default_rng(3)
