@@ -195,6 +195,60 @@ def orbit(
 
 @cli.command()
 @common_options
+@click.option("--output_path", type=str, default="", help="optional metrics.json destination")
+def evaluate(
+    input_dir, trained_model_path, scene_index, scale_factor,
+    tile_size, chunk_size, max_pairs, early_stop, backend,
+    output_path,
+):
+    """Render every ground-truth view and report PSNR/SSIM per view + mean
+    (quality metrics the reference never published; SURVEY.md §6)."""
+    import json
+
+    from PIL import Image
+
+    import jax.numpy as jnp
+
+    from gsplat_tpu.io.scene import read_scene
+    from gsplat_tpu.ops.camera import CameraParams
+    from gsplat_tpu.render.pipeline import render as render_fn
+    from gsplat_tpu.train.loss import psnr, ssim
+
+    cfg = _raster_config(tile_size, chunk_size, max_pairs, early_stop, backend)
+    model, _, _, _ = _load_scene(input_dir, trained_model_path, scene_index, scale_factor)
+    scenes, cam_info = read_scene(input_dir)
+
+    rows = []
+    for sid, scene in sorted(scenes.items()):
+        path = os.path.join(input_dir, f"images_{scale_factor}", scene.name)
+        if not os.path.exists(path):
+            continue
+        img = Image.open(path)
+        gt = jnp.asarray(np.asarray(img, dtype=np.float32) / 255.0)
+        cam = CameraParams.from_colmap(scene, cam_info[1], img.size[0], img.size[1])
+        pred, _ = render_fn(model, cam, cfg)
+        row = {
+            "view": scene.name,
+            "psnr": float(psnr(pred, gt)),
+            "ssim": float(ssim(pred, gt)),
+        }
+        rows.append(row)
+        logger.info("%s: psnr=%.2f ssim=%.4f", row["view"], row["psnr"], row["ssim"])
+    summary = {
+        "mean_psnr": float(np.mean([r["psnr"] for r in rows])) if rows else float("nan"),
+        "mean_ssim": float(np.mean([r["ssim"] for r in rows])) if rows else float("nan"),
+        "views": rows,
+    }
+    logger.info("mean psnr=%.2f ssim=%.4f over %d views",
+                summary["mean_psnr"], summary["mean_ssim"], len(rows))
+    if output_path:
+        os.makedirs(output_path, exist_ok=True)
+        with open(os.path.join(output_path, "metrics.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+
+
+@cli.command()
+@common_options
 @click.option("--output_path", type=str, default="")
 @click.option("--steps", type=int, default=300)
 @click.option("--ssim-weight", type=float, default=0.2)

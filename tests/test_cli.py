@@ -89,3 +89,14 @@ def test_mjpeg_avi_structure(scene_dir, tmp_path):
     assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
     assert struct.unpack("<I", data[4:8])[0] == len(data) - 8
     assert b"movi" in data and b"MJPG" in data and b"idx1" in data
+
+
+def test_cli_evaluate(scene_dir, tmp_path):
+    out = str(tmp_path / "eval")
+    result = CliRunner().invoke(cli, ["evaluate", *_common(scene_dir, out)])
+    assert result.exit_code == 0, result.output + repr(result.exception)
+    import json
+
+    metrics = json.load(open(os.path.join(out, "metrics.json")))
+    assert metrics["views"] and np.isfinite(metrics["mean_psnr"])
+    assert -1.0 <= metrics["mean_ssim"] <= 1.0
