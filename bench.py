@@ -88,16 +88,19 @@ def main():
         loss, grads = jax.value_and_grad(loss_fn)(m)
         return loss, grads
 
-    # Warmup (compile) + steady-state timing.
+    # Warmup (compile) + steady-state timing. NOTE: on the tunneled TPU
+    # backend block_until_ready can return before execution finishes; the
+    # only reliable fence is a device->host fetch, so the timed window ends
+    # with float(loss) of the LAST iteration (all prior iterations are
+    # ordered before it on the single device stream).
     loss, grads = fwd_bwd(model, cam, target)
-    jax.block_until_ready(grads)
     assert np.isfinite(float(loss)), loss
 
-    iters = 10
+    iters = 20
     start = time.perf_counter()
     for _ in range(iters):
         loss, grads = fwd_bwd(model, cam, target)
-    jax.block_until_ready(grads)
+    final_loss = float(loss)
     elapsed = (time.perf_counter() - start) / iters
 
     fps = 1.0 / elapsed
@@ -113,7 +116,7 @@ def main():
             "max_pairs": MAX_PAIRS,
             "backend": jax.default_backend(),
             "sec_per_frame": round(elapsed, 4),
-            "loss": float(loss),
+            "loss": final_loss,
         },
     }
     print(json.dumps(result))
