@@ -128,6 +128,57 @@ def render_batch(
     )
 
 
+@partial(jax.jit, static_argnames=("width", "height", "cfg"))
+def binning_stats(
+    model: GaussianModel,
+    cam: CameraArrays,
+    width: int,
+    height: int,
+    cfg: RasterConfig = RasterConfig(),
+) -> dict:
+    """Pair-budget diagnostics for one view.
+
+    ``num_pairs`` >= ``capacity`` means the fixed pair buffer overflowed and
+    the deepest splats were dropped (ops/binning.py overflow policy) —
+    re-render with a larger ``cfg.max_pairs``. See :func:`suggest_max_pairs`.
+    """
+    prep = preprocess_traced(model, cam, width, height, cfg)
+    bins = binning.bin_gaussians(
+        prep, width, height, cfg.tile_size, cfg.max_pairs, align=cfg.chunk_size
+    )
+    # Unclipped demand (bins.num_pairs saturates at capacity on overflow).
+    n_tiles_x = -(-width // cfg.tile_size)
+    n_tiles_y = -(-height // cfg.tile_size)
+    _, _, ntx, nty = binning.tile_ranges(
+        prep.cull_bbox, cfg.tile_size, n_tiles_x, n_tiles_y
+    )
+    demand = jnp.sum(jnp.where(prep.active, ntx * nty, 0))
+    return {
+        "num_pairs": bins.num_pairs,
+        "pair_demand": demand,
+        "capacity": jnp.int32(cfg.max_pairs),
+        "overflowed": demand > cfg.max_pairs,
+        "active_gaussians": jnp.sum(prep.active.astype(jnp.int32)),
+        "max_tile_count": jnp.max(bins.tile_count),
+    }
+
+
+def suggest_max_pairs(
+    model: GaussianModel,
+    camera: CameraParams,
+    cfg: RasterConfig = RasterConfig(),
+    headroom: float = 2.0,
+) -> int:
+    """Size ``max_pairs`` for a scene+view: measured surviving pairs times
+    ``headroom``, rounded up to a power of two (a fresh capacity changes the
+    jit cache key, so callers typically size once per scene)."""
+    cam = CameraArrays.from_params(camera, dtype=model.means.dtype)
+    stats = binning_stats(model, cam, camera.width, camera.height, cfg)
+    need = max(int(stats["pair_demand"]), 1)
+    target = int(need * headroom)
+    return 1 << max(target - 1, cfg.chunk_size).bit_length()
+
+
 @partial(jax.jit, static_argnames=("camera", "cfg"))
 def render_reference_oracle(
     model: GaussianModel, camera: CameraParams, cfg: RasterConfig = RasterConfig()

@@ -120,3 +120,35 @@ def test_capacity_overflow_keeps_nearest():
     counts = np.asarray(bins.tile_count)
     got = pg[starts[0] : starts[0] + counts[0]].tolist()
     assert got == [0, 1, 2, 3]  # depth order, nearest kept
+
+
+def test_binning_stats_and_suggest_max_pairs():
+    """Overflow diagnostics report the unclipped pair demand."""
+    import jax.numpy as jnp
+
+    from gsplat_tpu import GaussianModel, RasterConfig
+    from gsplat_tpu.ops.camera import CameraArrays
+    from gsplat_tpu.render.pipeline import binning_stats, suggest_max_pairs
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from fixtures import orbit_camera, random_splat_arrays
+
+    rng = np.random.default_rng(9)
+    model = GaussianModel.from_arrays(random_splat_arrays(rng, 200))
+    camera = orbit_camera(0.1, width=64, height=48)
+    cam = CameraArrays.from_params(camera)
+
+    big = RasterConfig(tile_size=16, chunk_size=8, max_pairs=1 << 13, use_pallas=False)
+    s = binning_stats(model, cam, 64, 48, big)
+    assert not bool(s["overflowed"])
+    assert int(s["num_pairs"]) == int(s["pair_demand"]) > 0
+
+    tiny = RasterConfig(tile_size=16, chunk_size=8, max_pairs=16, use_pallas=False)
+    s2 = binning_stats(model, cam, 64, 48, tiny)
+    assert bool(s2["overflowed"])
+    assert int(s2["pair_demand"]) == int(s["pair_demand"])  # demand is capacity-free
+    assert int(s2["num_pairs"]) <= 16
+
+    suggested = suggest_max_pairs(model, camera, tiny, headroom=2.0)
+    assert suggested >= int(s["pair_demand"]) * 2 / 2  # pow2 roundup of 2x demand
+    assert suggested & (suggested - 1) == 0
