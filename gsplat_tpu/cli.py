@@ -40,7 +40,7 @@ def _load_scene(input_dir: str, trained_model_path: str, scene_index: int, scale
     scene = scenes[scene_index]
 
     gt_img_path = os.path.join(input_dir, f"images_{scale_factor}", scene.name)
-    img = Image.open(gt_img_path)
+    img = Image.open(gt_img_path).convert("RGB")
     width, height = img.size
 
     ply_path = checkpoint_ply_path(trained_model_path)
@@ -210,8 +210,8 @@ def evaluate(
     import jax.numpy as jnp
 
     from gsplat_tpu.io.scene import read_scene
-    from gsplat_tpu.ops.camera import CameraParams
-    from gsplat_tpu.render.pipeline import render as render_fn
+    from gsplat_tpu.ops.camera import CameraArrays, CameraParams
+    from gsplat_tpu.render.pipeline import render_traced
     from gsplat_tpu.train.loss import psnr, ssim
 
     cfg = _raster_config(tile_size, chunk_size, max_pairs, early_stop, backend)
@@ -223,10 +223,14 @@ def evaluate(
         path = os.path.join(input_dir, f"images_{scale_factor}", scene.name)
         if not os.path.exists(path):
             continue
-        img = Image.open(path)
+        img = Image.open(path).convert("RGB")
         gt = jnp.asarray(np.asarray(img, dtype=np.float32) / 255.0)
         cam = CameraParams.from_colmap(scene, cam_info[1], img.size[0], img.size[1])
-        pred, _ = render_fn(model, cam, cfg)
+        # render_traced keeps the camera pose as data: one compile serves
+        # every view (poses differ; width/height are shared per dataset).
+        pred, _ = render_traced(
+            model, CameraArrays.from_params(cam), img.size[0], img.size[1], cfg
+        )
         row = {
             "view": scene.name,
             "psnr": float(psnr(pred, gt)),
@@ -280,7 +284,7 @@ def finetune(
         path = os.path.join(input_dir, f"images_{scale_factor}", scene.name)
         if not os.path.exists(path):
             continue
-        img = Image.open(path)
+        img = Image.open(path).convert("RGB")
         gt = jnp.asarray(np.asarray(img, dtype=np.float32) / 255.0)
         cam = CameraParams.from_colmap(scene, cam_info[1], img.size[0], img.size[1])
         views.append((cam, gt))

@@ -364,13 +364,21 @@ def backward_tiles_pallas(
     n = feat.shape[0] - 1
 
     if gaussian_counts is None or cfg.exact_grad_reduction:
-        # Exact per-row scatter-add. Rows never written by any tile
-        # (capacity tail) may hold garbage; their pair index is the sentinel
-        # N, so they fold into the discarded padding row N — NaN-guard them
-        # anyway since garbage could poison the scatter.
-        sentinel = idx == n
-        masked = jnp.where(sentinel[:, None], 0.0, pair_grads[:, : B.NUM_FEATURES])
-        d_feat = jax.ops.segment_sum(masked, idx, num_segments=feat.shape[0])
+        # Exact per-row scatter-add. Only rows inside THIS call's tile
+        # segments were written by the kernel: under tile sharding each
+        # shard rasterizes an interleaved subset of tiles, and the rest of
+        # the grad buffer is uninitialized HBM *with real gaussian ids in
+        # pair_gaussian* — mask those rows out by interval before reducing.
+        aligned = -(-tile_count // cs) * cs
+        delta = jnp.zeros((pair_grads.shape[0] + 1,), jnp.int32)
+        delta = delta.at[tile_start].add(1, mode="drop")
+        delta = delta.at[tile_start + aligned].add(-1, mode="drop")
+        written = jnp.cumsum(delta[:-1]) > 0
+        valid_row = written & (idx != n)
+        masked = jnp.where(valid_row[:, None], pair_grads[:, : B.NUM_FEATURES], 0.0)
+        d_feat = jax.ops.segment_sum(
+            masked, jnp.where(valid_row, idx, n), num_segments=feat.shape[0]
+        )
         return d_feat.astype(feat.dtype)
 
     # Sort-based reduction: sort the 9 gradient columns by gaussian id (the
@@ -378,7 +386,10 @@ def backward_tiles_pallas(
     # every real segment, where even a NaN cannot poison real prefixes),
     # then difference a cumsum at segment ends. Boundaries come from
     # gaussian_counts, so the whole thing is sorts + elementwise — no
-    # scatter.
+    # scatter. VALID ONLY when this call rasterizes every tile (segments
+    # cover the buffer from slot 0 and gaussian_counts describes exactly
+    # this call's pairs); tile-sharded callers must use the exact path
+    # (cfg.exact_grad_reduction — parallel/shard.py does).
     cols = [pair_grads[:, j] for j in range(9)]
     sorted_ops = jax.lax.sort((idx, *cols), num_keys=1, is_stable=False)
     sg = jnp.stack(sorted_ops[1:], axis=1)  # [P, 9], grouped by gaussian id

@@ -144,6 +144,13 @@ def _fwd_kernel(
         chunks_done, _ = jax.lax.while_loop(
             cond, body, (jnp.int32(0), jnp.zeros((), jnp.bool_))
         )
+
+        # On early exit the prefetch for chunk `chunks_done` is still in
+        # flight; drain it so its DMA/semaphore cannot race the next grid
+        # step's copies into the same slot.
+        @pl.when((chunks_done > 0) & (chunks_done < nchunks))
+        def _():
+            get_dma(jax.lax.rem(chunks_done, 2), chunks_done).wait()
     else:
 
         def body(c, _):

@@ -228,10 +228,17 @@ def _alpha_cull_bbox(
     guard = 1.0
     rx = jnp.sqrt(2.0 * jnp.maximum(cov_a, 0.0) * jnp.maximum(log_gate, 0.0)) + guard
     ry = jnp.sqrt(2.0 * jnp.maximum(cov_c, 0.0) * jnp.maximum(log_gate, 0.0)) + guard
-    cx_min = jnp.maximum(bbox[:, 0], jnp.ceil(mean_px - rx).astype(jnp.int32))
-    cy_min = jnp.maximum(bbox[:, 1], jnp.ceil(mean_py - ry).astype(jnp.int32))
-    cx_max = jnp.minimum(bbox[:, 2], jnp.floor(mean_px + rx).astype(jnp.int32) + 1)
-    cy_max = jnp.minimum(bbox[:, 3], jnp.floor(mean_py + ry).astype(jnp.int32) + 1)
+
+    # Clamp the float rect to the screen BEFORE the int cast: a huge/inf
+    # radius would saturate the cast at INT32_MAX and the +1 would wrap
+    # negative, silently deleting a visible splat.
+    def lo(v):
+        return jnp.clip(v, -1.0, float(width + height)).astype(jnp.int32)
+
+    cx_min = jnp.maximum(bbox[:, 0], lo(jnp.ceil(mean_px - rx)))
+    cy_min = jnp.maximum(bbox[:, 1], lo(jnp.ceil(mean_py - ry)))
+    cx_max = jnp.minimum(bbox[:, 2], lo(jnp.floor(mean_px + rx)) + 1)
+    cy_max = jnp.minimum(bbox[:, 3], lo(jnp.floor(mean_py + ry)) + 1)
     cx_max = jnp.where(live, cx_max, cx_min)  # empty rect => zero tiles
     cy_max = jnp.where(live, cy_max, cy_min)
     return jnp.stack([cx_min, cy_min, cx_max, cy_max], axis=-1)

@@ -17,6 +17,7 @@ correlated gaussian load, so striding decorrelates shard cost).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Callable, Tuple
 
 import jax
@@ -89,6 +90,11 @@ def make_sharded_render(
     tp = mesh.shape[TILE_AXIS]
     n_tiles_x, num_tiles, padded, order = _tile_layout(width, height, cfg.tile_size, tp)
     order_j = jnp.asarray(order, jnp.int32)
+    if tp > 1:
+        # Each shard rasterizes an interleaved tile subset; the default
+        # sort-based gradient reduction assumes whole-frame coverage, so
+        # force the interval-masked exact reduction (kernels/raster_bwd.py).
+        cfg = dataclasses.replace(cfg, exact_grad_reduction=True)
 
     def raster_shard(feat, pair_gaussian, tile_start, tile_count, tile_ids, gaussian_counts):
         return rasterize_tiles(
@@ -145,6 +151,10 @@ def make_parallel_train_step(
     n_tiles_x, num_tiles, padded, order = _tile_layout(
         width, height, raster_cfg.tile_size, tp
     )
+    if tp > 1:
+        # See make_sharded_render: shards cover interleaved tile subsets, so
+        # the backward must use the interval-masked exact reduction.
+        raster_cfg = dataclasses.replace(raster_cfg, exact_grad_reduction=True)
     order_np = np.asarray(order)
     optimizer = make_optimizer(train_cfg)
 

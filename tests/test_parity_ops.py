@@ -154,3 +154,44 @@ def test_conics_match_reference(scene):
     )
     conics, _ = P.conic_from_cov2d(jnp.asarray(cov2d))
     np.testing.assert_allclose(np.asarray(conics), expected, rtol=1e-6, atol=1e-7)
+
+
+def test_soa_preprocess_matches_aos_twin():
+    """preprocess_gaussians_from_params (the live SoA path) and
+    preprocess_gaussians (the AoS formulation kept as readable
+    documentation/oracle) must stay numerically interchangeable."""
+    import jax.numpy as jnp
+
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from fixtures import orbit_camera, random_splat_arrays
+
+    from gsplat_tpu.models.gaussians import GaussianModel
+    from gsplat_tpu.ops.camera import CameraArrays
+    from gsplat_tpu.ops import projection as P
+
+    rng = np.random.default_rng(17)
+    model = GaussianModel.from_arrays(random_splat_arrays(rng, 400))
+    camera = orbit_camera(0.3, width=96, height=64)
+    cam = CameraArrays.from_params(camera)
+    kw = dict(
+        w2c_t=cam.w2c_t, full_proj_t=cam.full_proj_t,
+        tan_fov_x=cam.tan_fov[0], tan_fov_y=cam.tan_fov[1],
+        focal_x=cam.focal[0], focal_y=cam.focal[1],
+        width=96, height=64, strict_parity=True,
+    )
+    rgb = jnp.ones((model.num_gaussians, 3), jnp.float32) * 0.5
+    soa = P.preprocess_gaussians_from_params(
+        means=model.means, scales=model.scales(), quats=model.quats,
+        opacity=model.opacity(), rgb=rgb, **kw,
+    )
+    aos = P.preprocess_gaussians(
+        means=model.means, cov3d=model.covariances(),
+        opacity=model.opacity(), rgb=rgb, **kw,
+    )
+    np.testing.assert_allclose(np.asarray(soa.screen_means), np.asarray(aos.screen_means), rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(soa.conics), np.asarray(aos.conics), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(soa.depth), np.asarray(aos.depth), rtol=1e-6, atol=1e-6)
+    assert (np.asarray(soa.bbox) == np.asarray(aos.bbox)).all()
+    assert (np.asarray(soa.cull_bbox) == np.asarray(aos.cull_bbox)).all()
+    assert (np.asarray(soa.active) == np.asarray(aos.active)).all()
