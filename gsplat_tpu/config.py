@@ -55,6 +55,10 @@ class RasterConfig:
     # segment_sum; False: sort + cumsum-difference reduction (~5x faster,
     # reorders f32 additions — ~1e-5 relative noise on the gradient scale).
     exact_grad_reduction: bool = False
+    # Testing only: run the Pallas kernels in interpreter mode on non-TPU
+    # backends (exercises the exact kernel code paths, e.g. the sharded
+    # backward, on the CPU test mesh).
+    force_pallas_interpret: bool = False
 
     @property
     def pixels_per_tile(self) -> int:

@@ -28,7 +28,9 @@ from gsplat_tpu.config import RasterConfig
 
 
 def _use_pallas(cfg: RasterConfig) -> bool:
-    return cfg.use_pallas and jax.default_backend() == "tpu"
+    return cfg.use_pallas and (
+        jax.default_backend() == "tpu" or cfg.force_pallas_interpret
+    )
 
 
 def _forward_impl(feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles_x, cfg):
@@ -39,7 +41,8 @@ def _forward_impl(feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles
         from gsplat_tpu.kernels.raster_fwd import forward_tiles_pallas
 
         return forward_tiles_pallas(
-            feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles_x, cfg
+            feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles_x,
+            cfg, interpret=cfg.force_pallas_interpret,
         )
     from gsplat_tpu.render.tile_jnp import forward_tiles_jnp
 
@@ -61,6 +64,7 @@ def _backward_impl(
             feat, pair_gaussian, tile_start, tile_count, tile_ids,
             color_tiles, trans_tiles, g_color, g_trans, n_tiles_x, cfg,
             chunks_done=chunks_done, gaussian_counts=gaussian_counts,
+            interpret=cfg.force_pallas_interpret,
         )
     from gsplat_tpu.render.tile_jnp import backward_tiles_jnp
 

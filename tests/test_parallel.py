@@ -94,3 +94,39 @@ def test_gradients_match_across_mesh_shapes(scene):
     assert l1 == pytest.approx(l3, rel=1e-5)
     np.testing.assert_allclose(m1, m2, rtol=1e-4, atol=1e-7)
     np.testing.assert_allclose(m1, m3, rtol=1e-4, atol=1e-7)
+
+
+def test_sharded_pallas_backward_interval_masking(scene):
+    """Run the PALLAS kernels (interpreter mode) under tile sharding: each
+    shard's grad buffer contains unwritten rows for other shards' segments
+    with real gaussian ids — the interval-masked exact reduction must
+    ignore them, matching the jnp-path gradients (regression for the
+    sharded-garbage bug)."""
+    import dataclasses
+
+    camera = orbit_camera(0.15, width=W, height=H)
+    target = render(scene, camera, CFG)[0]
+    tc = TrainConfig(ssim_weight=0.0)
+    cfg_pallas = dataclasses.replace(
+        CFG, use_pallas=True, force_pallas_interpret=True
+    )
+    # Perturb so the loss (and gradients) are far from zero.
+    arrays = scene.to_arrays()
+    arrays["opacity_logits"] = arrays["opacity_logits"] - 0.7
+    start = GaussianModel.from_arrays(arrays)
+
+    def one_step(cfg):
+        mesh = make_mesh(MeshConfig(data=1, tile=4))
+        train_step, init_state, prepare_targets = make_parallel_train_step(
+            mesh, W, H, cfg, tc
+        )
+        cams = CameraArrays.stack([CameraArrays.from_params(camera)])
+        tiles = prepare_targets(jnp.stack([target]))
+        model, _, metrics = train_step(start, init_state(start), cams, tiles)
+        return model, float(metrics["loss"])
+
+    m_jnp, l_jnp = one_step(CFG)
+    m_pal, l_pal = one_step(cfg_pallas)
+    assert l_pal == pytest.approx(l_jnp, rel=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(m_pal), jax.tree_util.tree_leaves(m_jnp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-6)
