@@ -19,8 +19,8 @@ import optax
 
 from gsplat_tpu.config import RasterConfig, TrainConfig
 from gsplat_tpu.models.gaussians import GaussianModel
-from gsplat_tpu.ops.camera import CameraParams
-from gsplat_tpu.render.pipeline import render
+from gsplat_tpu.ops.camera import CameraArrays, CameraParams
+from gsplat_tpu.render.pipeline import render_traced
 from gsplat_tpu.train.loss import psnr, rgb_loss
 
 
@@ -57,10 +57,13 @@ class Trainer:
     def __post_init__(self):
         self.optimizer = make_optimizer(self.train)
 
-        @partial(jax.jit, static_argnames=("camera",))
-        def _step(model, opt_state, camera, target):
+        # The camera pose is traced data (CameraArrays), so ONE compile per
+        # image size serves every view — a static CameraParams would retrace
+        # the whole pipeline for each distinct pose.
+        @partial(jax.jit, static_argnames=("width", "height"))
+        def _step(model, opt_state, cam, target, width, height):
             def loss_fn(m):
-                image, _ = render(m, camera, self.raster)
+                image, _ = render_traced(m, cam, width, height, self.raster)
                 return rgb_loss(image, target, self.train.ssim_weight), image
 
             (loss, image), grads = jax.value_and_grad(loss_fn, has_aux=True)(model)
@@ -83,7 +86,10 @@ class Trainer:
     ) -> Tuple[GaussianModel, object, Dict[str, jnp.ndarray]]:
         """One jitted optimization step against one view. Returns
         (model, opt_state, metrics)."""
-        return self._step(model, opt_state, camera, target)
+        cam = CameraArrays.from_params(camera, dtype=model.means.dtype)
+        return self._step(
+            model, opt_state, cam, target, camera.width, camera.height
+        )
 
     def fit(
         self,
