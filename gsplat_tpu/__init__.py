@@ -9,18 +9,30 @@ checkpointing, CLI and multi-chip sharding the reference lacks.
 
 from gsplat_tpu.config import MeshConfig, RasterConfig, TrainConfig
 from gsplat_tpu.models.gaussians import GaussianModel, random_model
-from gsplat_tpu.ops.camera import CameraParams
-from gsplat_tpu.render.pipeline import render, render_reference_oracle
+from gsplat_tpu.ops.camera import CameraArrays, CameraParams
+from gsplat_tpu.render.pipeline import (
+    binning_stats,
+    render,
+    render_batch,
+    render_reference_oracle,
+    render_traced,
+    suggest_max_pairs,
+)
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "CameraArrays",
     "CameraParams",
     "GaussianModel",
     "MeshConfig",
     "RasterConfig",
     "TrainConfig",
+    "binning_stats",
     "random_model",
     "render",
+    "render_batch",
     "render_reference_oracle",
+    "render_traced",
+    "suggest_max_pairs",
 ]
