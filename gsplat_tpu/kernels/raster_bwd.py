@@ -229,6 +229,10 @@ def _bwd_kernel(
         d_cy = -0.5 * syy
         d_cxy = -sxy
         # Σ d_raw*expd == Σ d_density / opac (opac is per-pair constant).
+        # At opac == 0 the true gradient is also exactly 0: alpha == 0 fails
+        # the alpha > MIN_ALPHA validity gate, so d_a (hence d_raw) is zeroed
+        # at every pixel — the jnp path's Σ d_raw*expd agrees (pinned by
+        # test_zero_opacity_gradient_matches_jnp).
         d_opac = jnp.where(opac > 0.0, s1 / opac, 0.0)
 
         grad = jnp.concatenate(

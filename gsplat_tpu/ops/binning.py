@@ -17,7 +17,7 @@ require (SURVEY.md §7 hard part #1). The recipe:
      yields, per tile, a contiguous depth-ordered gaussian list. Tile starts
      come from a searchsorted over the sorted keys.
 
-Overflow of the fixed capacity is reported (``num_pairs`` vs ``capacity``)
+Overflow of the fixed capacity is reported (``pair_demand`` vs capacity)
 so callers can re-render with a doubled budget; truncation keeps the closest
 (smallest-depth) gaussians, which degrades gracefully.
 """
@@ -36,13 +36,17 @@ class TileBinning(NamedTuple):
     """Static-shape binning result for one view.
 
     Attributes:
-      pair_gaussian: ``[max_pairs]`` int32 — for each pair slot, the *global*
-        gaussian index it refers to; slots >= num_pairs hold ``num_gaussians``
-        (a padding sentinel pointing at zero-padded feature rows).
+      pair_gaussian: ``[max_pairs (+ align pad)]`` int32 — for each pair slot,
+        the *global* gaussian index it refers to; unused slots hold
+        ``num_gaussians`` (a padding sentinel pointing at zero feature rows).
       tile_start: ``[num_tiles]`` int32 — first pair slot of each tile.
       tile_count: ``[num_tiles]`` int32 — number of pairs in each tile.
-      num_pairs: scalar int32 — pairs actually generated (<= capacity unless
-        overflowed; compare with ``capacity`` to detect truncation).
+      num_pairs: scalar int32 — pairs actually *emitted* into the buffer
+        (``sum(gaussian_counts)``; under overflow this is strictly less than
+        the demand because whole gaussians are dropped).
+      pair_demand: scalar int32 — pairs the view wanted before any capacity
+        clipping; ``pair_demand > capacity`` means the buffer overflowed and
+        the deepest gaussians were dropped.
       depth_order: ``[N]`` int32 — gaussian indices sorted by camera depth.
       gaussian_counts: ``[N]`` int32 — kept pairs per gaussian in *gaussian id*
         order (the backward's sort-based pair->gaussian gradient reduction
@@ -53,6 +57,7 @@ class TileBinning(NamedTuple):
     tile_start: jnp.ndarray
     tile_count: jnp.ndarray
     num_pairs: jnp.ndarray
+    pair_demand: jnp.ndarray
     depth_order: jnp.ndarray
     gaussian_counts: jnp.ndarray
 
@@ -109,8 +114,8 @@ def bin_gaussians(
         (no post-sort re-scatter, no searchsorted).
 
     Capacity overflow drops the *deepest whole gaussians* (every pair of a
-    gaussian that does not fully fit is dropped); compare ``num_pairs`` with
-    the capacity to detect it.
+    gaussian that does not fully fit is dropped); ``pair_demand > max_pairs``
+    detects it.
 
     Returned ``pair_gaussian`` has length ``max_pairs + num_tiles*(align-1)``
     (real capacity plus the alignment-pad block).
@@ -135,7 +140,6 @@ def bin_gaussians(
 
     offsets = jnp.cumsum(counts_d) - counts_d  # exclusive prefix sum
     total = offsets[-1] + counts_d[-1]
-    num_pairs = jnp.minimum(total, max_pairs).astype(i32)
 
     # Overflow policy: a gaussian whose segment does not fully fit in the
     # pair buffer is dropped entirely (deepest-first, so the closest splats
@@ -155,6 +159,7 @@ def bin_gaussians(
     )
     keep_id &= k_fit > 0
     gaussian_counts = jnp.where(keep_id, counts, 0)
+    num_pairs = jnp.sum(gaussian_counts).astype(i32)  # pairs actually emitted
 
     # 2. Recover, for every pair slot, its owning gaussian's segment data:
     #    scatter each kept segment's depth rank at its start offset,
@@ -235,6 +240,7 @@ def bin_gaussians(
         tile_start=tile_start,
         tile_count=tile_count,
         num_pairs=num_pairs,
+        pair_demand=total.astype(i32),
         depth_order=depth_order,
         gaussian_counts=gaussian_counts,
     )

@@ -138,26 +138,20 @@ def binning_stats(
 ) -> dict:
     """Pair-budget diagnostics for one view.
 
-    ``num_pairs`` >= ``capacity`` means the fixed pair buffer overflowed and
-    the deepest splats were dropped (ops/binning.py overflow policy) —
-    re-render with a larger ``cfg.max_pairs``. See :func:`suggest_max_pairs`.
+    ``overflowed`` means the fixed pair buffer could not hold the view's
+    demand and the deepest splats were dropped (ops/binning.py overflow
+    policy) — re-render with a larger ``cfg.max_pairs``.
+    See :func:`suggest_max_pairs`.
     """
     prep = preprocess_traced(model, cam, width, height, cfg)
     bins = binning.bin_gaussians(
         prep, width, height, cfg.tile_size, cfg.max_pairs, align=cfg.chunk_size
     )
-    # Unclipped demand (bins.num_pairs saturates at capacity on overflow).
-    n_tiles_x = -(-width // cfg.tile_size)
-    n_tiles_y = -(-height // cfg.tile_size)
-    _, _, ntx, nty = binning.tile_ranges(
-        prep.cull_bbox, cfg.tile_size, n_tiles_x, n_tiles_y
-    )
-    demand = jnp.sum(jnp.where(prep.active, ntx * nty, 0))
     return {
         "num_pairs": bins.num_pairs,
-        "pair_demand": demand,
+        "pair_demand": bins.pair_demand,
         "capacity": jnp.int32(cfg.max_pairs),
-        "overflowed": demand > cfg.max_pairs,
+        "overflowed": bins.pair_demand > cfg.max_pairs,
         "active_gaussians": jnp.sum(prep.active.astype(jnp.int32)),
         "max_tile_count": jnp.max(bins.tile_count),
     }

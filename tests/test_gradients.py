@@ -89,6 +89,45 @@ def test_grads_match_finite_differences(scene):
     assert checked >= 6
 
 
+def test_grads_match_torch_reference_autodiff(scene):
+    """Per-parameter gradients vs torch autograd through the reference's own
+    forward (the literal BASELINE.json oracle: 'grad allclose vs torch ref').
+
+    Same weighted-sum loss on both sides; the reference side replays
+    rasterize.py:353-452 on leaf tensors and calls .backward()
+    (reference_harness.reference_render_grads)."""
+    from reference_harness import reference_render_grads
+
+    arrays, camera = scene
+    rng = np.random.default_rng(21)
+    w_img = rng.normal(size=(camera.height, camera.width, 3)).astype(np.float32) * 0.1
+    w_trans = rng.normal(size=(camera.height, camera.width)).astype(np.float32) * 0.1
+
+    ref_loss, ref_grads = reference_render_grads(arrays, camera, w_img, w_trans)
+
+    model = GaussianModel.from_arrays(arrays)
+    wi = jnp.asarray(w_img)
+    wt = jnp.asarray(w_trans)
+
+    def loss_fn(m):
+        img, trans = render(m, camera, CFG)
+        return jnp.sum(img * wi) + jnp.sum(trans * wt)
+
+    loss, g = jax.value_and_grad(loss_fn)(model)
+    assert abs(float(loss) - ref_loss) <= 1e-3 * (abs(ref_loss) + 1.0)
+
+    for name in ["means", "log_scales", "quats", "opacity_logits", "sh"]:
+        got = np.asarray(getattr(g, name))
+        want = ref_grads[name]
+        assert np.isfinite(got).all(), f"{name} has non-finite grads"
+        scale = np.abs(want).max() + 1e-8
+        # f32 forward-recompute backward vs torch's saved-tensor backward:
+        # reduction orders differ everywhere, so tolerances are scale-relative.
+        np.testing.assert_allclose(
+            got, want, rtol=5e-3, atol=1e-4 * scale, err_msg=name
+        )
+
+
 def test_transmittance_cotangent_flows(scene):
     """Gradient through the transmittance output alone must be nonzero and
     finite (exercises the dT_final/dalpha term)."""
