@@ -55,6 +55,7 @@ def test_cli_render_video(scene_dir, tmp_path):
     assert os.path.exists(os.path.join(out, VIDEO_NAME))
 
 
+@pytest.mark.slow
 def test_cli_finetune(scene_dir, tmp_path):
     out = str(tmp_path / "ft")
     result = CliRunner().invoke(

@@ -30,6 +30,7 @@ def _loss_through(render_fn, camera, target):
     return loss
 
 
+@pytest.mark.slow
 def test_grads_match_oracle_autodiff(scene):
     arrays, camera = scene
     model = GaussianModel.from_arrays(arrays)
@@ -89,6 +90,7 @@ def test_grads_match_finite_differences(scene):
     assert checked >= 6
 
 
+@pytest.mark.slow
 def test_grads_match_torch_reference_autodiff(scene):
     """Per-parameter gradients vs torch autograd through the reference's own
     forward (the literal BASELINE.json oracle: 'grad allclose vs torch ref').

@@ -43,6 +43,7 @@ def test_tile_sharded_render_matches_single_device(scene, tp):
     assert np.isfinite(np.asarray(trans)).all()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("dp,tp", [(2, 4), (4, 2), (8, 1), (1, 8)])
 def test_parallel_train_step(scene, dp, tp):
     mesh = make_mesh(MeshConfig(data=dp, tile=tp))
@@ -71,6 +72,7 @@ def test_parallel_train_step(scene, dp, tp):
     assert np.isfinite(float(metrics["psnr"]))
 
 
+@pytest.mark.slow
 def test_gradients_match_across_mesh_shapes(scene):
     """The psum'd gradient must be independent of the mesh decomposition."""
     camera = orbit_camera(0.2, width=W, height=H)
@@ -96,6 +98,7 @@ def test_gradients_match_across_mesh_shapes(scene):
     np.testing.assert_allclose(m1, m3, rtol=1e-4, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_sharded_pallas_backward_interval_masking(scene):
     """Run the PALLAS kernels (interpreter mode) under tile sharding: each
     shard's grad buffer contains unwritten rows for other shards' segments

@@ -64,6 +64,7 @@ def test_ssim_matches_torch_reference_formula():
     assert ours == pytest.approx(theirs, abs=2e-4)
 
 
+@pytest.mark.slow
 def test_finetune_improves_psnr():
     """Fine-tune a perturbed model toward images rendered by the original."""
     rng = np.random.default_rng(3)
