@@ -390,10 +390,11 @@ def backward_tiles_pallas(
     # every real segment, where even a NaN cannot poison real prefixes),
     # then difference a cumsum at segment ends. Boundaries come from
     # gaussian_counts, so the whole thing is sorts + elementwise — no
-    # scatter. VALID ONLY when this call rasterizes every tile (segments
-    # cover the buffer from slot 0 and gaussian_counts describes exactly
-    # this call's pairs); tile-sharded callers must use the exact path
-    # (cfg.exact_grad_reduction — parallel/shard.py does).
+    # scatter. VALID ONLY when this call rasterizes every tile of the
+    # binning that produced pair_gaussian (segments cover the buffer from
+    # slot 0 and gaussian_counts describes exactly this call's pairs).
+    # Tile shards satisfy this by binning their own strided tile subset
+    # (parallel/shard.py), so this fast path is live under sharding too.
     cols = [pair_grads[:, j] for j in range(9)]
     sorted_ops = jax.lax.sort((idx, *cols), num_keys=1, is_stable=False)
     sg = jnp.stack(sorted_ops[1:], axis=1)  # [P, 9], grouped by gaussian id

@@ -80,6 +80,41 @@ def tile_ranges(bbox: jnp.ndarray, tile_size: int, n_tiles_x: int, n_tiles_y: in
     return tx0.astype(jnp.int32), ty0.astype(jnp.int32), ntx.astype(jnp.int32), nty.astype(jnp.int32)
 
 
+def strided_tile_ranges(
+    bbox: jnp.ndarray,
+    tile_size: int,
+    n_tiles_x: int,
+    n_tiles_y: int,
+    stride_x: int,
+    stride_y: int,
+    offset_x,
+    offset_y,
+):
+    """Tile ranges intersected with a 2D-strided tile subset, in *local*
+    coordinates.
+
+    A tile shard owns the tiles ``{(tx, ty) : tx ≡ offset_x (mod stride_x),
+    ty ≡ offset_y (mod stride_y)}`` — rect coverage stays separable per
+    axis, so per-shard binning reuses the whole-frame machinery on the
+    local grid ``ceil(n_tiles_x/stride_x) x ceil(n_tiles_y/stride_y)``
+    (local index j <-> global index offset + j*stride). Offsets may be
+    traced (``lax.axis_index``). Returns (tx0, ty0, ntx, nty) local.
+    """
+    gx0, gy0, gnx, gny = tile_ranges(bbox, tile_size, n_tiles_x, n_tiles_y)
+
+    def per_axis(a, n, off, stride):
+        # local indices j with a <= off + j*stride < a + n:
+        # j in [ceil((a-off)/stride), ceil((a+n-off)/stride))
+        j0 = -((off - a) // stride)  # ceil((a-off)/stride); >= 0 since a >= 0
+        j1 = -((off - a - n) // stride)
+        return j0.astype(jnp.int32), jnp.maximum(j1 - j0, 0).astype(jnp.int32)
+
+    lx0, lnx = per_axis(gx0, gnx, offset_x, stride_x)
+    ly0, lny = per_axis(gy0, gny, offset_y, stride_y)
+    empty = (gnx == 0) | (gny == 0)
+    return lx0, ly0, jnp.where(empty, 0, lnx), jnp.where(empty, 0, lny)
+
+
 def bin_gaussians(
     prep: Preprocessed,
     width: int,
@@ -88,7 +123,36 @@ def bin_gaussians(
     max_pairs: int,
     align: int = 1,
 ) -> TileBinning:
-    """Build per-tile depth-ordered gaussian lists (static shapes).
+    """Build per-tile depth-ordered gaussian lists for the whole frame
+    (static shapes). See :func:`bin_rects` for the machinery; tile shards
+    bin their own strided tile subset via :func:`strided_tile_ranges` +
+    :func:`bin_rects` instead (parallel/shard.py)."""
+    n_tiles_x = -(-width // tile_size)
+    n_tiles_y = -(-height // tile_size)
+    # Bin against the alpha-cull rect (subset of the reference bbox whose
+    # excluded tiles provably contribute nothing; ops/projection.py).
+    rects = tile_ranges(prep.cull_bbox, tile_size, n_tiles_x, n_tiles_y)
+    return bin_rects(
+        prep.depth, prep.active, rects, n_tiles_x, n_tiles_y, max_pairs, align
+    )
+
+
+def bin_rects(
+    depth: jnp.ndarray,
+    active: jnp.ndarray,
+    rects,
+    n_tiles_x: int,
+    n_tiles_y: int,
+    max_pairs: int,
+    align: int = 1,
+) -> TileBinning:
+    """Bin gaussians with explicit per-gaussian tile rects onto an
+    ``n_tiles_x x n_tiles_y`` tile grid (static shapes).
+
+    ``rects = (tx0, ty0, ntx, nty)``, each ``[N]`` int32, in the coordinates
+    of the *target grid* — whole-frame callers pass :func:`tile_ranges`
+    output, tile shards pass :func:`strided_tile_ranges` output with their
+    local grid dims.
 
     With ``align > 1`` every tile's pair segment starts at a multiple of
     ``align`` and is padded up to one with sentinel pairs. The Pallas kernels
@@ -120,22 +184,18 @@ def bin_gaussians(
     Returned ``pair_gaussian`` has length ``max_pairs + num_tiles*(align-1)``
     (real capacity plus the alignment-pad block).
     """
-    n = prep.depth.shape[0]
-    n_tiles_x = -(-width // tile_size)
-    n_tiles_y = -(-height // tile_size)
+    n = depth.shape[0]
     num_tiles = n_tiles_x * n_tiles_y
     i32 = jnp.int32
 
-    # Bin against the alpha-cull rect (subset of the reference bbox whose
-    # excluded tiles provably contribute nothing; ops/projection.py).
-    tx0, ty0, ntx, nty = tile_ranges(prep.cull_bbox, tile_size, n_tiles_x, n_tiles_y)
-    counts = jnp.where(prep.active, ntx * nty, 0).astype(i32)
+    tx0, ty0, ntx, nty = rects
+    counts = jnp.where(active, ntx * nty, 0).astype(i32)
 
     # 1. Depth order (ascending camera z => front-to-back), carrying every
     #    per-gaussian column through the ONE sort (no post-sort gathers).
     iota_n = jax.lax.broadcasted_iota(i32, (n, 1), 0).squeeze(-1)
     depth_d, depth_order, counts_d, tx0_d, ty0_d, ntx_d = jax.lax.sort(
-        (prep.depth, iota_n, counts, tx0, ty0, ntx), num_keys=1, is_stable=True
+        (depth, iota_n, counts, tx0, ty0, ntx), num_keys=1, is_stable=True
     )
 
     offsets = jnp.cumsum(counts_d) - counts_d  # exclusive prefix sum
@@ -154,8 +214,8 @@ def bin_gaussians(
     last = jnp.maximum(k_fit - 1, 0)
     thresh_depth = jax.lax.dynamic_index_in_dim(depth_d, last, keepdims=False)
     thresh_id = jax.lax.dynamic_index_in_dim(depth_order, last, keepdims=False)
-    keep_id = (prep.depth < thresh_depth) | (
-        (prep.depth == thresh_depth) & (iota_n <= thresh_id)
+    keep_id = (depth < thresh_depth) | (
+        (depth == thresh_depth) & (iota_n <= thresh_id)
     )
     keep_id &= k_fit > 0
     gaussian_counts = jnp.where(keep_id, counts, 0)
@@ -268,7 +328,16 @@ def pack_features(prep: Preprocessed) -> jnp.ndarray:
     bbox => no containment => contributes exactly nothing). 16 floats/row
     keeps gathers lane-aligned on TPU.
     """
-    feat = jnp.concatenate(
+    feat = pack_feature_rows(prep)
+    pad = jnp.zeros((1, feat.shape[-1]), dtype=feat.dtype)
+    return jnp.concatenate([feat, pad], axis=0)
+
+
+def pack_feature_rows(prep: Preprocessed) -> jnp.ndarray:
+    """The ``[N, 16]`` feature rows of :func:`pack_features` without the
+    sentinel pad row (tile shards all-gather rows first, then append one
+    shared pad row)."""
+    return jnp.concatenate(
         [
             prep.screen_means,
             prep.conics,
@@ -279,5 +348,3 @@ def pack_features(prep: Preprocessed) -> jnp.ndarray:
         ],
         axis=-1,
     )
-    pad = jnp.zeros((1, feat.shape[-1]), dtype=feat.dtype)
-    return jnp.concatenate([feat, pad], axis=0)

@@ -1,23 +1,34 @@
 """shard_map-based multi-chip rendering and training.
 
 Sharding layout (SURVEY.md §5.7-5.8, BASELINE.json config 5):
-  * splat parameters: replicated on every device;
-  * framebuffer tiles: sharded over the ``tile`` mesh axis — each device
-    rasterizes its slab of tiles (front-to-back compositing stays local to a
-    tile, so the forward needs zero cross-device communication);
-  * camera batch: sharded over the ``data`` axis;
-  * parameter gradients: one ``psum`` over both axes in the backward (the
-    shard_map transpose inserts it for replicated inputs), overlappable by
-    XLA with the backward tile sweep.
+  * camera batch: sharded over the ``data`` mesh axis;
+  * framebuffer tiles: sharded over the ``tile`` axis with a *2D-strided*
+    ownership pattern — the tile factor tp = sy*sx and device (oy, ox) owns
+    the tiles {(tx, ty) : tx ≡ ox (mod sx), ty ≡ oy (mod sy)}. Striding
+    both axes decorrelates per-device gaussian load (neighbouring tiles have
+    correlated pair counts) while keeping rect coverage separable per axis,
+    which is what lets every shard *bin its own tiles only*;
+  * per-gaussian preprocess: sharded over the ``tile`` axis by gaussian
+    range — each device preprocesses N/tp gaussians and the packed feature
+    rows + binning inputs are all-gathered (one [N, 24]-ish f32 exchange
+    per camera riding ICI);
+  * splat parameters: replicated; their gradients arrive via the autodiff
+    transposes of the gather/slice chain (all-gather -> psum_scatter, then
+    the shard_map transpose's psum over both axes), overlappable by XLA
+    with the backward tile sweep.
 
-Per-tile load imbalance is mitigated by round-robin tile->device assignment
-(device d takes tiles d, d+tp, d+2*tp, ... — neighbouring tiles have
-correlated gaussian load, so striding decorrelates shard cost).
+Because each shard bins exactly the tiles it rasterizes, its pair buffer is
+fully covered from slot 0 and its ``gaussian_counts`` describe exactly its
+own pairs — so the backward's fast sort-based pair->gaussian reduction is
+valid under sharding (round 1 had to force the ~0.5 s/4M-pair exact
+segment_sum whenever tp > 1). The only replicated per-step work left is the
+O(N) depth sort + elementwise binning prologue inside ``bin_rects``.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Callable, Tuple
 
 import jax
@@ -37,91 +48,169 @@ from gsplat_tpu.train.loss import rgb_loss
 from gsplat_tpu.train.trainer import make_optimizer
 
 
-def _tile_layout(width: int, height: int, tile_size: int, tp: int):
-    """Static tile bookkeeping: (n_tiles_x, num_tiles, padded_tiles, order).
+def _factor_stride(tp: int) -> Tuple[int, int]:
+    """tp -> (sy, sx), sy*sx == tp, near-square with the larger factor on x
+    (frames are wider than tall, so x usually has more tile columns)."""
+    f = max(int(math.isqrt(tp)), 1)
+    while tp % f:
+        f -= 1
+    return f, tp // f
 
-    ``order`` is the round-robin permutation: device d gets tiles
-    d, d+tp, 2*tp+d, ... Padding slots carry id >= num_tiles, render empty,
-    and are dropped at re-assembly.
+
+@dataclasses.dataclass(frozen=True)
+class _ShardLayout:
+    """Static bookkeeping for the strided tile->device assignment.
+
+    Stacked order (what shard_map's tile-axis concat produces) is
+    ``pos = d * tiles_local + local`` with ``d = (ty % sy)*sx + (tx % sx)``
+    and ``local = (ty // sy)*ntx_l + (tx // sx)``.
     """
-    n_tiles_x = -(-width // tile_size)
-    n_tiles_y = -(-height // tile_size)
-    num_tiles = n_tiles_x * n_tiles_y
-    padded = -(-num_tiles // tp) * tp
-    ids = np.arange(padded)
-    order = ids.reshape(-1, tp).T.reshape(-1)  # round-robin striding
-    return n_tiles_x, num_tiles, padded, order
+
+    sy: int
+    sx: int
+    ntx_g: int
+    nty_g: int
+    ntx_l: int
+    nty_l: int
+    pos_of_global: np.ndarray  # [T_global] -> index into the stacked tiles
+    src_of_stacked: np.ndarray  # [tp*T_local] -> global tile id, or -1 (pad)
+
+    @property
+    def tiles_local(self) -> int:
+        return self.ntx_l * self.nty_l
 
 
-def _bin_for_camera(model, cam, width, height, cfg):
-    prep = preprocess_traced(model, cam, width, height, cfg)
-    bins = binning.bin_gaussians(
-        prep, width, height, cfg.tile_size, cfg.max_pairs, align=cfg.chunk_size
+def _make_layout(width: int, height: int, tile_size: int, tp: int) -> _ShardLayout:
+    ntx_g = -(-width // tile_size)
+    nty_g = -(-height // tile_size)
+    sy, sx = _factor_stride(tp)
+    ntx_l = -(-ntx_g // sx)
+    nty_l = -(-nty_g // sy)
+    t_l = ntx_l * nty_l
+    ty, tx = np.divmod(np.arange(nty_g * ntx_g), ntx_g)
+    d = (ty % sy) * sx + (tx % sx)
+    local = (ty // sy) * ntx_l + (tx // sx)
+    pos = d * t_l + local
+    src = np.full(tp * t_l, -1, np.int64)
+    src[pos] = np.arange(nty_g * ntx_g)
+    return _ShardLayout(sy, sx, ntx_g, nty_g, ntx_l, nty_l, pos, src)
+
+
+def _pad_model(model: GaussianModel, total: int) -> GaussianModel:
+    """Pad the gaussian axis to ``total`` rows with inert splats (opacity
+    sigmoid(-30) ~ 1e-13 -> the alpha-cull rect is empty, so pads can never
+    generate pairs; identity quats keep every intermediate finite)."""
+    n = model.num_gaussians
+    extra = total - n
+    if extra == 0:
+        return model
+    pad_quats = jnp.tile(
+        jnp.asarray([1.0, 0.0, 0.0, 0.0], model.quats.dtype), (extra, 1)
     )
-    feat = binning.pack_features(prep)
-    return feat, bins
 
+    def pad(x, fill=0.0):
+        return jnp.concatenate(
+            [x, jnp.full((extra,) + x.shape[1:], fill, x.dtype)], axis=0
+        )
 
-def _gather_shard_inputs(bins, order_l, num_tiles):
-    """Per-shard (starts, counts) for global tile ids, zeroing padding slots."""
-    in_range = order_l < num_tiles
-    safe = jnp.where(in_range, order_l, 0)
-    starts = jnp.where(in_range, bins.tile_start[safe], 0)
-    counts = jnp.where(in_range, bins.tile_count[safe], 0)
-    return starts, counts
-
-
-def _unpermute(tiles, order_l, padded, num_tiles):
-    """Undo the round-robin permutation and drop padding tiles."""
-    inv = jnp.zeros((padded,), jnp.int32).at[order_l].set(
-        jnp.arange(padded, dtype=jnp.int32)
+    return GaussianModel(
+        means=pad(model.means),
+        log_scales=pad(model.log_scales),
+        quats=jnp.concatenate([model.quats, pad_quats], axis=0),
+        opacity_logits=pad(model.opacity_logits, -30.0),
+        sh=pad(model.sh),
     )
-    return tiles[inv][:num_tiles]
+
+
+def _shard_render_tiles(
+    model_p: GaussianModel,
+    cam: CameraArrays,
+    lay: _ShardLayout,
+    width: int,
+    height: int,
+    cfg: RasterConfig,
+    n_local: int,
+):
+    """One shard's render, called inside shard_map: preprocess this device's
+    gaussian slice, all-gather packed rows, bin + rasterize this device's
+    strided tile subset. Returns (color [T_l, npix, 3], trans [T_l, npix])."""
+    tp = lay.sy * lay.sx
+    d = jax.lax.axis_index(TILE_AXIS)
+    ox = d % lay.sx
+    oy = d // lay.sx
+
+    sl = jax.tree.map(
+        lambda x: jax.lax.dynamic_slice_in_dim(x, d * n_local, n_local, axis=0),
+        model_p,
+    )
+    prep = preprocess_traced(sl, cam, width, height, cfg)
+    feat_rows = binning.pack_feature_rows(prep)
+    binput = jnp.concatenate(
+        [
+            prep.depth[:, None],
+            prep.active.astype(jnp.float32)[:, None],
+            prep.cull_bbox.astype(jnp.float32),  # pixel coords: exact in f32
+        ],
+        axis=1,
+    )  # [n_local, 6]
+    if tp > 1:
+        feat_rows = jax.lax.all_gather(feat_rows, TILE_AXIS, axis=0, tiled=True)
+        binput = jax.lax.all_gather(binput, TILE_AXIS, axis=0, tiled=True)
+    depth = binput[:, 0]
+    active = binput[:, 1] > 0.5
+    cull_bbox = binput[:, 2:6].astype(jnp.int32)
+
+    rects = binning.strided_tile_ranges(
+        cull_bbox, cfg.tile_size, lay.ntx_g, lay.nty_g, lay.sx, lay.sy, ox, oy
+    )
+    bins = binning.bin_rects(
+        depth, active, rects, lay.ntx_l, lay.nty_l, cfg.max_pairs,
+        align=cfg.chunk_size,
+    )
+    feat = jnp.concatenate(
+        [feat_rows, jnp.zeros((1, feat_rows.shape[1]), feat_rows.dtype)], axis=0
+    )
+
+    li = jnp.arange(lay.tiles_local, dtype=jnp.int32)
+    tile_ids = (oy + (li // lay.ntx_l) * lay.sy) * lay.ntx_g + ox + (li % lay.ntx_l) * lay.sx
+    color, trans = rasterize_tiles(
+        feat, bins.pair_gaussian, bins.tile_start, bins.tile_count,
+        tile_ids, bins.gaussian_counts, lay.ntx_g, cfg,
+    )
+    return color, trans
+
+
+def _stacked_to_image(stacked, pos_j, width, height, tile_size):
+    """[tp*T_l, npix, C...] stacked shard outputs -> [H, W, C...]."""
+    return tiles_to_image(stacked[pos_j], width, height, tile_size)
 
 
 def make_sharded_render(
     mesh: Mesh, width: int, height: int, cfg: RasterConfig
 ) -> Callable[[GaussianModel, CameraArrays], Tuple[jnp.ndarray, jnp.ndarray]]:
-    """Tile-sharded single-view render: returns fn(model, cam) -> (image, T).
-
-    Preprocess + binning run replicated (they are O(N) and cheap next to the
-    raster); the raster is shard_mapped over the ``tile`` axis.
-    """
+    """Tile-sharded single-view render: returns fn(model, cam) -> (image, T)."""
     tp = mesh.shape[TILE_AXIS]
-    n_tiles_x, num_tiles, padded, order = _tile_layout(width, height, cfg.tile_size, tp)
-    order_j = jnp.asarray(order, jnp.int32)
-    if tp > 1:
-        # Each shard rasterizes an interleaved tile subset; the default
-        # sort-based gradient reduction assumes whole-frame coverage, so
-        # force the interval-masked exact reduction (kernels/raster_bwd.py).
-        cfg = dataclasses.replace(cfg, exact_grad_reduction=True)
-
-    def raster_shard(feat, pair_gaussian, tile_start, tile_count, tile_ids, gaussian_counts):
-        return rasterize_tiles(
-            feat, pair_gaussian, tile_start, tile_count, tile_ids,
-            gaussian_counts, n_tiles_x, cfg,
-        )
-
-    sharded_raster = jax.shard_map(
-        raster_shard,
-        mesh=mesh,
-        in_specs=(P(), P(), P(TILE_AXIS), P(TILE_AXIS), P(TILE_AXIS), P()),
-        out_specs=(P(TILE_AXIS), P(TILE_AXIS)),
-        check_vma=False,  # loop carries start mesh-invariant, become varying
-    )
+    lay = _make_layout(width, height, cfg.tile_size, tp)
+    pos_j = jnp.asarray(lay.pos_of_global, jnp.int32)
 
     @jax.jit
     def render_fn(model: GaussianModel, cam: CameraArrays):
-        feat, bins = _bin_for_camera(model, cam, width, height, cfg)
-        starts, counts = _gather_shard_inputs(bins, order_j, num_tiles)
-        color, trans = sharded_raster(
-            feat, bins.pair_gaussian, starts, counts, order_j, bins.gaussian_counts
-        )
-        color = _unpermute(color, order_j, padded, num_tiles)
-        trans = _unpermute(trans, order_j, padded, num_tiles)
+        n_local = -(-model.num_gaussians // tp)
+        model_p = _pad_model(model, n_local * tp)
+
+        def shard_fn(m, c):
+            return _shard_render_tiles(m, c, lay, width, height, cfg, n_local)
+
+        color, trans = jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P()),
+            out_specs=(P(TILE_AXIS), P(TILE_AXIS)),
+            check_vma=False,  # loop carries start mesh-invariant, become varying
+        )(model_p, cam)
         return (
-            tiles_to_image(color, width, height, cfg.tile_size),
-            tiles_to_image(trans, width, height, cfg.tile_size),
+            _stacked_to_image(color, pos_j, width, height, cfg.tile_size),
+            _stacked_to_image(trans, pos_j, width, height, cfg.tile_size),
         )
 
     return render_fn
@@ -139,7 +228,7 @@ def make_parallel_train_step(
     Returns (train_step, init_state, prepare_targets):
       * ``train_step(model, opt_state, cams, targets_tiles)`` consumes a
         camera batch (stacked CameraArrays, leaves [B, ...]; B divisible by
-        the data axis) and pre-tiled targets [B, padded_tiles, npix, 3]
+        the data axis) and pre-tiled targets [B, tp*T_l, npix, 3]
         (from ``prepare_targets``), and applies one optimizer update from
         gradients psum'd over the whole mesh.
       * loss is (1-w)*L1 + w*(1-SSIM); under tile sharding the frame is
@@ -148,38 +237,33 @@ def make_parallel_train_step(
     """
     dp = mesh.shape[DATA_AXIS]
     tp = mesh.shape[TILE_AXIS]
-    n_tiles_x, num_tiles, padded, order = _tile_layout(
-        width, height, raster_cfg.tile_size, tp
-    )
-    if tp > 1:
-        # See make_sharded_render: shards cover interleaved tile subsets, so
-        # the backward must use the interval-masked exact reduction.
-        raster_cfg = dataclasses.replace(raster_cfg, exact_grad_reduction=True)
-    order_np = np.asarray(order)
+    lay = _make_layout(width, height, raster_cfg.tile_size, tp)
+    pos_np = lay.pos_of_global
+    src_np = lay.src_of_stacked
     optimizer = make_optimizer(train_cfg)
 
-    # Per-tile pixel validity (image edge tiles include padding pixels).
+    # Per-tile pixel validity (image edge tiles include padding pixels), in
+    # stacked shard order; shard-padding tiles are all-invalid.
     mask_img = jnp.ones((height, width), jnp.float32)
-    pixel_mask = image_to_tiles(mask_img, raster_cfg.tile_size)  # [T, npix]
-    pixel_mask = jnp.concatenate(
-        [pixel_mask, jnp.zeros((padded - num_tiles, pixel_mask.shape[1]))], axis=0
-    )[order_np]
+    mask_tiles = image_to_tiles(mask_img, raster_cfg.tile_size)  # [T_g, npix]
+    valid_src = src_np >= 0
+    safe_src = np.where(valid_src, src_np, 0)
+    pixel_mask = jnp.where(
+        jnp.asarray(valid_src)[:, None], mask_tiles[jnp.asarray(safe_src)], 0.0
+    )  # [tp*T_l, npix]
 
-    def local_loss(model, cams_l, targets_l, order_l, mask_l):
+    def local_loss(model_p, cams_l, targets_l, mask_l, n_local):
         """Loss contribution of one device: its cameras x its tile slab.
 
-        cams_l: CameraArrays leaves [Bl, ...]; targets_l: [Bl, Tl, npix, 3];
-        order_l: [Tl] global tile ids; mask_l: [Tl, npix] pixel validity.
+        cams_l: CameraArrays leaves [Bl, ...]; targets_l: [Bl, T_l, npix, 3];
+        mask_l: [T_l, npix] pixel validity of this shard's tiles.
         Returns (mean loss, mean mse), psum'd over the whole mesh.
         """
 
         def one_camera(args):
             cam, target_tiles = args
-            feat, bins = _bin_for_camera(model, cam, width, height, raster_cfg)
-            starts, counts = _gather_shard_inputs(bins, order_l, num_tiles)
-            color, _ = rasterize_tiles(
-                feat, bins.pair_gaussian, starts, counts, order_l,
-                bins.gaussian_counts, n_tiles_x, raster_cfg,
+            color, _ = _shard_render_tiles(
+                model_p, cam, lay, width, height, raster_cfg, n_local
             )
             npixels = width * height * 3
             mse = jnp.sum(((color - target_tiles) ** 2) * mask_l[:, :, None]) / npixels
@@ -199,14 +283,12 @@ def make_parallel_train_step(
                     target_full = jax.lax.all_gather(
                         target_tiles, TILE_AXIS, axis=0, tiled=True
                     )
-                order_full = jnp.asarray(order_np, jnp.int32)
-                image = tiles_to_image(
-                    _unpermute(color_full, order_full, padded, num_tiles),
-                    width, height, raster_cfg.tile_size,
+                pos_full = jnp.asarray(pos_np, jnp.int32)
+                image = _stacked_to_image(
+                    color_full, pos_full, width, height, raster_cfg.tile_size
                 )
-                target = tiles_to_image(
-                    _unpermute(target_full, order_full, padded, num_tiles),
-                    width, height, raster_cfg.tile_size,
+                target = _stacked_to_image(
+                    target_full, pos_full, width, height, raster_cfg.tile_size
                 )
                 loss = rgb_loss(image, target, train_cfg.ssim_weight) / tp
             else:
@@ -222,26 +304,26 @@ def make_parallel_train_step(
         mse = jax.lax.psum(jnp.sum(mses), (DATA_AXIS, TILE_AXIS)) / batch
         return loss, mse
 
-    sharded_loss = jax.shard_map(
-        local_loss,
-        mesh=mesh,
-        in_specs=(
-            P(),  # model (replicated)
-            P(DATA_AXIS),  # cameras
-            P(DATA_AXIS, TILE_AXIS),  # target tiles
-            P(TILE_AXIS),  # tile order slab
-            P(TILE_AXIS),  # pixel mask slab
-        ),
-        out_specs=(P(), P()),
-        check_vma=False,  # loop carries start mesh-invariant, become varying
-    )
-
     @jax.jit
     def train_step(model, opt_state, cams, targets_tiles):
-        order_j = jnp.asarray(order_np, jnp.int32)
+        n_local = -(-model.num_gaussians // tp)
+
+        sharded_loss = jax.shard_map(
+            lambda m, c, t, k: local_loss(m, c, t, k, n_local),
+            mesh=mesh,
+            in_specs=(
+                P(),  # padded model (replicated)
+                P(DATA_AXIS),  # cameras
+                P(DATA_AXIS, TILE_AXIS),  # target tiles (stacked shard order)
+                P(TILE_AXIS),  # pixel-mask slab
+            ),
+            out_specs=(P(), P()),
+            check_vma=False,  # loop carries start mesh-invariant, become varying
+        )
 
         def loss_fn(m):
-            return sharded_loss(m, cams, targets_tiles, order_j, pixel_mask)
+            m_p = _pad_model(m, n_local * tp)
+            return sharded_loss(m_p, cams, targets_tiles, pixel_mask)
 
         (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(model)
         updates, new_opt_state = optimizer.update(grads, opt_state, model)
@@ -253,12 +335,10 @@ def make_parallel_train_step(
         return optimizer.init(model)
 
     def prepare_targets(targets: jnp.ndarray) -> jnp.ndarray:
-        """[B, H, W, 3] images -> [B, padded_tiles, npix, 3] in shard order."""
+        """[B, H, W, 3] images -> [B, tp*T_l, npix, 3] in stacked shard order."""
         tiles = jax.vmap(lambda im: image_to_tiles(im, raster_cfg.tile_size))(targets)
-        pad = jnp.zeros(
-            (tiles.shape[0], padded - num_tiles) + tiles.shape[2:], tiles.dtype
-        )
-        tiles = jnp.concatenate([tiles, pad], axis=1)
-        return tiles[:, order_np]
+        safe = jnp.asarray(safe_src, jnp.int32)
+        picked = tiles[:, safe]  # [B, tp*T_l, npix, 3]
+        return jnp.where(jnp.asarray(valid_src)[None, :, None, None], picked, 0.0)
 
     return train_step, init_state, prepare_targets

@@ -99,12 +99,11 @@ def test_gradients_match_across_mesh_shapes(scene):
 
 
 @pytest.mark.slow
-def test_sharded_pallas_backward_interval_masking(scene):
-    """Run the PALLAS kernels (interpreter mode) under tile sharding: each
-    shard's grad buffer contains unwritten rows for other shards' segments
-    with real gaussian ids — the interval-masked exact reduction must
-    ignore them, matching the jnp-path gradients (regression for the
-    sharded-garbage bug)."""
+def test_sharded_pallas_backward_matches_jnp(scene):
+    """Run the PALLAS kernels (interpreter mode) under tile sharding. Each
+    shard bins its own strided tile subset, so its pair buffer is fully
+    covered and the fast sort-based pair->gaussian reduction is the live
+    path — its gradients must match the jnp-path train step."""
     import dataclasses
 
     camera = orbit_camera(0.15, width=W, height=H)
