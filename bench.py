@@ -1,19 +1,31 @@
 """Headline benchmark: forward+backward render rate at 1080p on one chip.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, "extra": {...}}
 
 Baseline (BASELINE.md): the torch reference renders one image in ~5 minutes
 *forward-only* (README.md:5). We report full forward+backward (render +
 loss + gradients to every splat parameter) frames/sec on one TPU chip;
 ``vs_baseline`` is the speedup over the reference's 1/300 fps.
 
-The synthetic scene is sized to a realistic MipNeRF-360 workload: 1M
-gaussians in the frustum, ~5M surviving tile pairs at 1920x1080.
+The synthetic scene fills the frustum with 1M gaussians at 1920x1080. The
+headline number uses the production config (early-stop transmittance 1e-4,
+as the CUDA original does); ``extra`` additionally reports:
+  * ``exact_mode_fps`` — the same step with early_stop=0.0 (exact
+    reference semantics, the configuration every parity test runs);
+  * ``pair_sweep`` — fps at increasing splat sizes (pairs/gaussian from
+    ~1 up to ~10+, bracketing real MipNeRF-360 tile densities), each point
+    sized to its measured pair demand.
+
+Real-scene mode (needs a COLMAP scene + Inria checkpoint on disk):
+  python bench.py --scene <dir> [--model <dir>] [--scale-factor k]
+renders every camera of the scene (fwd+bwd against the GT image) and
+reports fps + PSNR, with max_pairs auto-sized from the first view.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import math
 import sys
@@ -23,15 +35,21 @@ import numpy as np
 
 WIDTH, HEIGHT = 1920, 1080
 NUM_GAUSSIANS = 1_000_000
-# ~1.1M pairs survive binning for this scene; 2M capacity leaves 1.9x
+# ~1M pairs survive binning for the base scene; 2M capacity leaves ~2x
 # headroom while keeping the P-scale sort/scan/gather costs tight.
 MAX_PAIRS = 1 << 21
 BASELINE_FPS = 1.0 / 300.0  # reference: ~5 min per forward-only frame
 
+# (log-scale shift, pair-buffer capacity): each shift grows every splat by
+# e^shift linearly; capacities sized ~1.5-2x the measured pair demand.
+PAIR_SWEEP = [
+    (0.0, 1 << 21),
+    (0.8, 1 << 22),
+    (1.4, 1 << 23),
+]
 
-def build_scene(n: int):
-    import jax
 
+def build_scene(n: int, scale_shift: float = 0.0):
     from gsplat_tpu.models.gaussians import GaussianModel
 
     rng = np.random.default_rng(0)
@@ -41,8 +59,10 @@ def build_scene(n: int):
     y = rng.uniform(-0.55, 0.55, n).astype(np.float32) * z
     arrays = {
         "means": np.stack([x, y, z], -1),
-        # small splats so the pair count stays realistic (~3-6 per gaussian)
-        "log_scales": rng.uniform(-5.2, -3.6, (n, 3)).astype(np.float32),
+        # base: small splats (~1 pair each); scale_shift grows them
+        "log_scales": (
+            rng.uniform(-5.2, -3.6, (n, 3)) + scale_shift
+        ).astype(np.float32),
         "quats": rng.normal(size=(n, 4)).astype(np.float32),
         "opacity_logits": rng.uniform(-2.0, 2.0, n).astype(np.float32),
         "sh": (rng.normal(size=(n, 16, 3)) * 0.2).astype(np.float32),
@@ -50,75 +70,235 @@ def build_scene(n: int):
     return GaussianModel.from_arrays(arrays)
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
+def bench_camera():
+    from gsplat_tpu.ops.camera import CameraParams
 
-    from gsplat_tpu import RasterConfig, TrainConfig
-    from gsplat_tpu.models.gaussians import GaussianModel
-    from gsplat_tpu.ops.camera import CameraArrays, CameraParams
-    from gsplat_tpu.train.loss import rgb_loss
-    from gsplat_tpu.render.pipeline import render_traced
-
-    cfg = RasterConfig(
-        tile_size=32,
-        chunk_size=32,
-        max_pairs=MAX_PAIRS,
-        early_stop_transmittance=1e-4,
-        strict_parity=True,
-        use_pallas=jax.default_backend() == "tpu",
-    )
-    model = build_scene(NUM_GAUSSIANS)
     fx = 0.8 * WIDTH
-    camera = CameraParams(
+    return CameraParams(
         width=WIDTH, height=HEIGHT,
         fov_x=2 * math.atan(WIDTH / (2 * fx)), fov_y=2 * math.atan(HEIGHT / (2 * fx)),
         focal_x=fx, focal_y=fx,
         qvec=(1.0, 0.0, 0.0, 0.0), tvec=(0.0, 0.0, 0.0),
     )
-    cam = CameraArrays.from_params(camera)
-    target = jnp.zeros((HEIGHT, WIDTH, 3), jnp.float32) + 0.25
+
+
+def time_fwd_bwd(model, cam, target, cfg, iters=20):
+    """Steady-state seconds per fwd+bwd step (render + loss + full grads).
+
+    NOTE: on the tunneled TPU backend block_until_ready can return before
+    execution finishes; the only reliable fence is a device->host fetch, so
+    the timed window ends with float(loss) of the LAST iteration (all prior
+    iterations are ordered before it on the single device stream).
+    """
+    import jax
+
+    from gsplat_tpu.render.pipeline import render_traced
+    from gsplat_tpu.train.loss import rgb_loss
+
+    width, height = target.shape[1], target.shape[0]
 
     @jax.jit
     def fwd_bwd(m, cam, target):
         def loss_fn(m):
-            image, _ = render_traced(m, cam, WIDTH, HEIGHT, cfg)
+            image, _ = render_traced(m, cam, width, height, cfg)
             return rgb_loss(image, target, 0.2)
 
-        loss, grads = jax.value_and_grad(loss_fn)(m)
-        return loss, grads
+        return jax.value_and_grad(loss_fn)(m)
 
-    # Warmup (compile) + steady-state timing. NOTE: on the tunneled TPU
-    # backend block_until_ready can return before execution finishes; the
-    # only reliable fence is a device->host fetch, so the timed window ends
-    # with float(loss) of the LAST iteration (all prior iterations are
-    # ordered before it on the single device stream).
-    loss, grads = fwd_bwd(model, cam, target)
+    loss, grads = fwd_bwd(model, cam, target)  # compile + warmup
     assert np.isfinite(float(loss)), loss
-
-    iters = 20
     start = time.perf_counter()
     for _ in range(iters):
         loss, grads = fwd_bwd(model, cam, target)
     final_loss = float(loss)
     elapsed = (time.perf_counter() - start) / iters
+    return elapsed, final_loss
 
+
+def pair_stats(model, cam, cfg):
+    from gsplat_tpu.render.pipeline import binning_stats
+
+    s = binning_stats(model, cam, WIDTH, HEIGHT, cfg)
+    return int(s["num_pairs"]), int(s["pair_demand"]), bool(s["overflowed"])
+
+
+def synthetic_bench(args):
+    import jax
+    import jax.numpy as jnp
+
+    from gsplat_tpu import RasterConfig
+    from gsplat_tpu.ops.camera import CameraArrays
+
+    def make_cfg(max_pairs, early_stop):
+        return RasterConfig(
+            tile_size=32, chunk_size=32, max_pairs=max_pairs,
+            early_stop_transmittance=early_stop, strict_parity=True,
+            use_pallas=jax.default_backend() == "tpu",
+        )
+
+    camera = bench_camera()
+    cam = CameraArrays.from_params(camera)
+    target = jnp.zeros((HEIGHT, WIDTH, 3), jnp.float32) + 0.25
+
+    # Headline: base scene, production config.
+    model = build_scene(NUM_GAUSSIANS)
+    cfg = make_cfg(MAX_PAIRS, 1e-4)
+    elapsed, final_loss = time_fwd_bwd(model, cam, target, cfg)
     fps = 1.0 / elapsed
-    mpix_s = fps * (WIDTH * HEIGHT) / 1e6
-    result = {
+    num_pairs, demand, overflowed = pair_stats(model, cam, cfg)
+    assert not overflowed, (num_pairs, demand)
+
+    extra = {
+        "mpixels_per_sec": round(fps * WIDTH * HEIGHT / 1e6, 2),
+        "num_gaussians": NUM_GAUSSIANS,
+        "max_pairs": MAX_PAIRS,
+        "backend": jax.default_backend(),
+        "sec_per_frame": round(elapsed, 4),
+        "loss": final_loss,
+        "pairs_per_gaussian": round(num_pairs / NUM_GAUSSIANS, 2),
+    }
+
+    if not args.quick:
+        # Exact reference semantics (no early termination) on the base scene.
+        el_exact, _ = time_fwd_bwd(model, cam, target, make_cfg(MAX_PAIRS, 0.0))
+        extra["exact_mode_fps"] = round(1.0 / el_exact, 3)
+
+        # Pair-density sweep: grow the splats, re-size the pair budget.
+        sweep = []
+        for shift, cap in PAIR_SWEEP:
+            m = model if shift == 0.0 else build_scene(NUM_GAUSSIANS, shift)
+            c = make_cfg(cap, 1e-4)
+            np_, dem, ovf = pair_stats(m, cam, c)
+            el, _ = time_fwd_bwd(m, cam, target, c, iters=8)
+            sweep.append(
+                {
+                    "pairs_per_gaussian": round(np_ / NUM_GAUSSIANS, 2),
+                    "num_pairs": np_,
+                    "max_pairs": cap,
+                    "overflowed": ovf,
+                    "fps": round(1.0 / el, 3),
+                }
+            )
+        extra["pair_sweep"] = sweep
+
+    return {
         "metric": "1080p_fwd+bwd_frames_per_sec_per_chip",
         "value": round(fps, 4),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 1),
+        "extra": extra,
+    }
+
+
+def scene_bench(args):
+    """Real-scene mode: fwd+bwd over every camera of a COLMAP scene."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from gsplat_tpu import RasterConfig
+    from gsplat_tpu.io.ply import load_splat_arrays
+    from gsplat_tpu.io.scene import checkpoint_ply_path, read_scene
+    from gsplat_tpu.models.gaussians import GaussianModel
+    from gsplat_tpu.ops.camera import CameraArrays, CameraParams
+    from gsplat_tpu.render.pipeline import render_traced, suggest_max_pairs
+    from gsplat_tpu.train.loss import rgb_loss
+    from gsplat_tpu.utils.progress import progress
+
+    import os
+
+    images, cameras = read_scene(args.scene)
+    model_dir = args.model or args.scene
+    model = GaussianModel.from_arrays(
+        load_splat_arrays(checkpoint_ply_path(model_dir))
+    )
+
+    views = []
+    for key in sorted(images):
+        info = images[key]
+        path = os.path.join(args.scene, f"images_{args.scale_factor}", info.name)
+        if not os.path.exists(path):
+            continue
+        gt = np.asarray(Image.open(path), dtype=np.float32) / 255.0
+        h, w = gt.shape[:2]
+        cam = CameraParams.from_colmap(info, cameras[info.camera_id], w, h)
+        views.append((cam, jnp.asarray(gt)))
+    if not views:
+        print(json.dumps({"error": f"no views found under {args.scene}"}))
+        sys.exit(1)
+
+    cam0 = views[0][0]
+    w, h = cam0.width, cam0.height
+    probe = RasterConfig(
+        tile_size=32, chunk_size=32, max_pairs=1 << 21,
+        use_pallas=jax.default_backend() == "tpu",
+    )
+    max_pairs = suggest_max_pairs(model, cam0, probe, headroom=1.5)
+    cfg = RasterConfig(
+        tile_size=32, chunk_size=32, max_pairs=max_pairs,
+        early_stop_transmittance=1e-4,
+        use_pallas=jax.default_backend() == "tpu",
+    )
+
+    @jax.jit
+    def fwd_bwd(m, cam, target):
+        def loss_fn(m):
+            image, _ = render_traced(m, cam, w, h, cfg)
+            return rgb_loss(image, target, 0.2)
+
+        return jax.value_and_grad(loss_fn)(m)
+
+    @jax.jit
+    def psnr_of(m, cam, target):
+        image, _ = render_traced(m, cam, w, h, cfg)
+        mse = jnp.mean((image - target) ** 2)
+        return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+
+    # Warmup on view 0, then time every view back-to-back.
+    cams = [CameraArrays.from_params(c, dtype=jnp.float32) for c, _ in views]
+    loss, _ = fwd_bwd(model, cams[0], views[0][1])
+    float(loss)
+    start = time.perf_counter()
+    for cam, (_, gt) in progress(
+        list(zip(cams, views)), desc="bench views", enabled=not args.quick
+    ):
+        loss, _ = fwd_bwd(model, cam, gt)
+    float(loss)
+    elapsed = (time.perf_counter() - start) / len(views)
+
+    psnrs = [float(psnr_of(model, cam, gt)) for cam, (_, gt) in zip(cams, views)]
+    fps = 1.0 / elapsed
+    return {
+        "metric": f"{h}p_real_scene_fwd+bwd_frames_per_sec_per_chip",
+        "value": round(fps, 4),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 1),
         "extra": {
-            "mpixels_per_sec": round(mpix_s, 2),
-            "num_gaussians": NUM_GAUSSIANS,
-            "max_pairs": MAX_PAIRS,
+            "scene": args.scene,
+            "num_views": len(views),
+            "width": w,
+            "height": h,
+            "num_gaussians": model.num_gaussians,
+            "max_pairs": max_pairs,
+            "mean_psnr": round(float(np.mean(psnrs)), 2),
             "backend": jax.default_backend(),
             "sec_per_frame": round(elapsed, 4),
-            "loss": final_loss,
         },
     }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default=None, help="COLMAP scene dir (real-scene mode)")
+    ap.add_argument("--model", default=None, help="Inria checkpoint dir (defaults to --scene)")
+    ap.add_argument("--scale-factor", type=int, default=4)
+    ap.add_argument(
+        "--quick", action="store_true",
+        help="headline number only (skip exact-mode + pair sweep)",
+    )
+    args = ap.parse_args()
+
+    result = scene_bench(args) if args.scene else synthetic_bench(args)
     print(json.dumps(result))
 
 

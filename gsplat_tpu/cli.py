@@ -72,7 +72,37 @@ _COMMON = [
     click.option("--early-stop", type=float, default=0.0,
                  help="transmittance below which a tile stops compositing (0 = exact reference semantics)"),
     click.option("--backend", type=click.Choice(["pallas", "jnp"]), default="pallas"),
+    click.option("--auto-pairs/--no-auto-pairs", default=True,
+                 help="check the measured pair demand and grow max_pairs "
+                      "(next power of two) instead of silently dropping the "
+                      "deepest splats on overflow"),
 ]
+
+
+def _check_pairs(model, camera, cfg: RasterConfig, auto_pairs: bool) -> RasterConfig:
+    """Warn on pair-buffer overflow; optionally return a resized config."""
+    import dataclasses as _dc
+
+    from gsplat_tpu.ops.camera import CameraArrays
+    from gsplat_tpu.render.pipeline import binning_stats
+
+    cam = CameraArrays.from_params(camera)
+    stats = binning_stats(model, cam, camera.width, camera.height, cfg)
+    demand = int(stats["pair_demand"])
+    if demand > cfg.max_pairs:
+        target = 1 << max(int(demand * 1.5) - 1, 1).bit_length()
+        if auto_pairs:
+            logger.warning(
+                "pair buffer overflow (demand %d > capacity %d): using "
+                "max_pairs=%d", demand, cfg.max_pairs, target,
+            )
+            return _dc.replace(cfg, max_pairs=target)
+        logger.warning(
+            "pair buffer overflow (demand %d > capacity %d): deepest splats "
+            "will be dropped — use --max-pairs %d or --auto-pairs",
+            demand, cfg.max_pairs, target,
+        )
+    return cfg
 
 
 def common_options(fn):
@@ -93,7 +123,7 @@ def cli():
 @click.option("--show/--no-show", default=True, help="display the matplotlib comparison figure")
 def render(
     input_dir, trained_model_path, scene_index, scale_factor,
-    tile_size, chunk_size, max_pairs, early_stop, backend,
+    tile_size, chunk_size, max_pairs, early_stop, backend, auto_pairs,
     output_path, generate_video, show,
 ):
     """Render one scene view next to its ground-truth photo."""
@@ -111,6 +141,7 @@ def render(
     model, camera, gt, gt_img_path = _load_scene(
         input_dir, trained_model_path, scene_index, scale_factor
     )
+    cfg = _check_pairs(model, camera, cfg, auto_pairs)
     image, _ = render_fn(model, camera, cfg)
     image = np.asarray(image)
     logger.info("rendered %dx%d from %d gaussians", camera.width, camera.height, model.num_gaussians)
@@ -146,7 +177,7 @@ def render(
 @click.option("--orbit-degrees", type=float, default=360.0)
 def orbit(
     input_dir, trained_model_path, scene_index, scale_factor,
-    tile_size, chunk_size, max_pairs, early_stop, backend,
+    tile_size, chunk_size, max_pairs, early_stop, backend, auto_pairs,
     output_path, num_frames, orbit_degrees,
 ):
     """Render a camera orbit around the scene view as a video
@@ -159,6 +190,7 @@ def orbit(
 
     cfg = _raster_config(tile_size, chunk_size, max_pairs, early_stop, backend)
     model, camera, _, _ = _load_scene(input_dir, trained_model_path, scene_index, scale_factor)
+    cfg = _check_pairs(model, camera, cfg, auto_pairs)
 
     cams = []
     for i in range(num_frames):
@@ -184,9 +216,16 @@ def orbit(
                 )
             )
         )
-    stacked = CameraArrays.stack(cams)
-    images, _ = render_batch(model, stacked, camera.width, camera.height, cfg)
-    images = np.asarray(images)
+    # Render in small batches so progress is visible on long orbits (each
+    # batch is one device program; lax.map serializes frames inside it).
+    from gsplat_tpu.utils.progress import progress
+
+    group = 8
+    images = []
+    for i in progress(range(0, num_frames, group), desc="orbit frames"):
+        stacked = CameraArrays.stack(cams[i : i + group])
+        imgs, _ = render_batch(model, stacked, camera.width, camera.height, cfg)
+        images.extend(np.asarray(imgs))
     os.makedirs(output_path or ".", exist_ok=True)
     videolib.write_frames(output_path or ".", list(images))
     video_path = videolib.encode_video(output_path or ".", camera.width, camera.height)
@@ -198,7 +237,7 @@ def orbit(
 @click.option("--output_path", type=str, default="", help="optional metrics.json destination")
 def evaluate(
     input_dir, trained_model_path, scene_index, scale_factor,
-    tile_size, chunk_size, max_pairs, early_stop, backend,
+    tile_size, chunk_size, max_pairs, early_stop, backend, auto_pairs,
     output_path,
 ):
     """Render every ground-truth view and report PSNR/SSIM per view + mean
@@ -213,13 +252,15 @@ def evaluate(
     from gsplat_tpu.ops.camera import CameraArrays, CameraParams
     from gsplat_tpu.render.pipeline import render_traced
     from gsplat_tpu.train.loss import psnr, ssim
+    from gsplat_tpu.utils.progress import progress
 
     cfg = _raster_config(tile_size, chunk_size, max_pairs, early_stop, backend)
-    model, _, _, _ = _load_scene(input_dir, trained_model_path, scene_index, scale_factor)
+    model, camera0, _, _ = _load_scene(input_dir, trained_model_path, scene_index, scale_factor)
+    cfg = _check_pairs(model, camera0, cfg, auto_pairs)
     scenes, cam_info = read_scene(input_dir)
 
     rows = []
-    for sid, scene in sorted(scenes.items()):
+    for sid, scene in progress(sorted(scenes.items()), desc="evaluate views"):
         path = os.path.join(input_dir, f"images_{scale_factor}", scene.name)
         if not os.path.exists(path):
             continue
@@ -260,7 +301,7 @@ def evaluate(
               help="iteration label for the exported PLY checkpoint")
 def finetune(
     input_dir, trained_model_path, scene_index, scale_factor,
-    tile_size, chunk_size, max_pairs, early_stop, backend,
+    tile_size, chunk_size, max_pairs, early_stop, backend, auto_pairs,
     output_path, steps, ssim_weight, save_iteration,
 ):
     """Fine-tune the splat model against the scene's ground-truth views
@@ -290,7 +331,11 @@ def finetune(
         views.append((cam, gt))
     logger.info("fine-tuning on %d views for %d steps", len(views), steps)
 
-    trainer = Trainer(raster=cfg, train=TrainConfig(steps=steps, ssim_weight=ssim_weight))
+    trainer = Trainer(
+        raster=cfg,
+        train=TrainConfig(steps=steps, ssim_weight=ssim_weight),
+        auto_pairs=auto_pairs,
+    )
     model, history = trainer.fit(
         model, views, log_fn=lambda r: log_metrics(logger, r["step"], r)
     )

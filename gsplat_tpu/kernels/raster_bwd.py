@@ -48,7 +48,8 @@ def _bwd_kernel(
     feat_hbm,
     fwd_out_ref,  # [1, 8, npix]: rows 0-2 C_total, row 3 T_final
     g_out_ref,  # [1, 8, npix]: rows 0-2 dL/dC, row 3 dL/dT_final
-    basis_ref,  # [npix, 128]: cols {1, px, py, px^2, py^2, px*py} (tile-local)
+    basis_ref,  # [1, npix, 16]: cols {1, px, py, px^2, py^2, px*py} (tile-
+    # local) + {g_r, g_g, g_b} (this tile's color cotangent, as columns)
     # outputs
     grad_hbm,
     # scratch
@@ -80,19 +81,19 @@ def _bwd_kernel(
     px = (tx * tile_size + lin % tile_size).astype(jnp.float32)
     py = (ty * tile_size + lin // tile_size).astype(jnp.float32)
 
-    t_final = fwd_out_ref[0, 3:4, :]
-    g_trans_term = g_out_ref[0, 3:4, :] * t_final  # [1, npix]
-
     # Per-channel quantities collapse to two per-pixel running rows
     # (the cotangent row g_ch is constant along the pair axis, so it
     # commutes with the front-to-back prefix sums):
-    #   row 0: S0 = Σ_ch g_ch * (C_total_ch - C_front_ch)  ("suffix color
-    #          still to be occluded", pre-contracted with the cotangent)
+    #   row 0: S0 = Σ_ch g_ch * (C_total_ch - C_front_ch) + g_T * T_final
+    #          ("suffix signal still to be occluded", pre-contracted with
+    #          the cotangent; the transmittance cotangent term shares the
+    #          -1/(1-alpha) suffix structure, so it rides the same row)
     #   row 1: T  = running transmittance
     carry[0:1] = (
         g_out_ref[0, 0:1, :] * fwd_out_ref[0, 0:1, :]
         + g_out_ref[0, 1:2, :] * fwd_out_ref[0, 1:2, :]
         + g_out_ref[0, 2:3, :] * fwd_out_ref[0, 2:3, :]
+        + g_out_ref[0, 3:4, :] * fwd_out_ref[0, 3:4, :]
     )
     carry[1:2] = jnp.ones((1, npix), jnp.float32)
 
@@ -167,7 +168,11 @@ def _bwd_kernel(
         # with S_behind_ch = C_total_ch - carry_ch - cumsum(w * rgb_ch).
         # Contracted with the per-pixel cotangent rows g_ch (constant along
         # k) everything folds into u = Σ_ch rgb_ch * g_ch and ONE cumsum:
-        #   Σ_ch g_ch * S_behind_ch = S0 - cumsum_k(w * u)
+        #   Σ_ch g_ch * S_behind_ch (+ the g_T term) = S0 - cumsum_k(w * u)
+        # u and cum_wu stay on the VPU: they sit in the middle of the
+        # chunk's dependency chain, and routing them through the MXU
+        # serializes VPU<->MXU round trips (measured ~4% slower than the
+        # doubling scan; the end-of-chunk moments matmul overlaps fine).
         g_r = g_out_ref[0, 0:1, :]
         g_g = g_out_ref[0, 1:2, :]
         g_b = g_out_ref[0, 2:3, :]
@@ -176,10 +181,9 @@ def _bwd_kernel(
         )  # [cs, npix]
         wu = w * u
         cum_wu = cumsum_inclusive(wu)
-        s_behind_g = carry[0:1] - cum_wu  # Σ_ch g_ch * S_behind at k
-        d_a = u * t_k - (s_behind_g + g_trans_term) * inv_om
+        s_behind_g = carry[0:1] - cum_wu  # Σ_ch g_ch * S_behind at k (+ g_T)
+        d_a = u * t_k - s_behind_g * inv_om
         d_a = jnp.where(valid, d_a, 0.0)
-        gw = [g_r * w, g_g * w, g_b * w]  # matmul rows for d_rgb
         carry[0:1] = carry[0:1] - cum_wu[-1:]
         carry[1:2] = carry[1:2] * cum[-1:]
 
@@ -189,27 +193,29 @@ def _bwd_kernel(
 
         # Every per-pair gradient is a pixel reduction. Cross-lane VPU
         # reductions are slow, so reduce on the MXU instead: all nine are
-        # recovered from *pixel moments* of d_density against the constant
-        # polynomial basis {1, px, py, px^2, py^2, px*py} (tile-local px —
-        # bounded magnitudes keep the binomial re-expansion of Σ d*(mx-px)^k
-        # well-conditioned), plus the ones-column row-sums of g_ch * w for
-        # d_rgb. One [4*cs, npix] @ [npix, 128] matmul total.
-        lhs = jnp.concatenate([d_density] + gw, axis=0)  # [4*cs, npix]
+        # recovered from ONE [2*cs, npix] @ [npix, 16] matmul. The
+        # d_density block contracts against the constant polynomial basis
+        # {1, px, py, px^2, py^2, px*py} (tile-local px — bounded magnitudes
+        # keep the binomial re-expansion of Σ d*(mx-px)^k well-conditioned);
+        # the w block contracts against this tile's color-cotangent columns
+        # {g_r, g_g, g_b} (basis cols 6-8), yielding d_rgb = Σ g_ch * w
+        # without materializing three g_ch*w products on the VPU.
+        lhs = jnp.concatenate([d_density, w], axis=0)  # [2*cs, npix]
         mom = jax.lax.dot_general(
-            lhs, basis_ref[...],
+            lhs, basis_ref[0],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             # Mosaic supports DEFAULT (1-pass bf16: ~0.4% rounding, too
             # noisy for gradients) and HIGHEST (6-pass, f32-exact) only.
             precision=jax.lax.Precision.HIGHEST,
-        )  # [4*cs, 128]
+        )  # [2*cs, 16]
         s1 = mom[0:cs, 0:1]  # Σ d
         spx = mom[0:cs, 1:2]  # Σ d*px
         spy = mom[0:cs, 2:3]  # Σ d*py
         spxx = mom[0:cs, 3:4]  # Σ d*px^2
         spyy = mom[0:cs, 4:5]  # Σ d*py^2
         spxy = mom[0:cs, 5:6]  # Σ d*px*py
-        d_rgb = [mom[(1 + ch) * cs : (2 + ch) * cs, 0:1] for ch in range(3)]
+        d_rgb = [mom[cs : 2 * cs, 6 + ch : 7 + ch] for ch in range(3)]
 
         # Tile-centered mean; dx = mx - px holds in any shared origin, and
         # centering halves the coordinate magnitudes in the cancellation.
@@ -312,16 +318,24 @@ def backward_tiles_pallas(
     fwd_out = pack(color_tiles, trans_tiles)
     g_out = pack(g_color, g_trans)
 
-    # Constant moment basis: cols {1, px, py, px^2, py^2, px*py} in
-    # tile-local pixel coordinates (row-major within the tile), zero-padded
-    # to the 128-lane MXU width.
+    # Per-tile reduction basis [T, npix, 16]: cols 0-5 the constant moment
+    # polynomials {1, px, py, px^2, py^2, px*py} in tile-local pixel
+    # coordinates (row-major within the tile), cols 6-8 this tile's color
+    # cotangent as columns (g_color is already [T, npix, 3] pixel-major).
     lin = jnp.arange(npix, dtype=f32)
     bx = lin % ts - (ts - 1) / 2.0
     by = lin // ts - (ts - 1) / 2.0
-    basis = jnp.stack(
+    moments = jnp.stack(
         [jnp.ones_like(bx), bx, by, bx * bx, by * by, bx * by], axis=1
     )  # [npix, 6]
-    basis = jnp.pad(basis, ((0, 0), (0, 128 - 6)))
+    basis = jnp.concatenate(
+        [
+            jnp.broadcast_to(moments, (num_tiles, npix, 6)),
+            g_color.astype(f32),
+            jnp.zeros((num_tiles, npix, 16 - 9), f32),
+        ],
+        axis=2,
+    )  # [T, npix, 16]
 
     if chunks_done is None:
         chunks_done = -(-tile_count // cs)
@@ -337,7 +351,7 @@ def backward_tiles_pallas(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 8, npix), lambda t, s, c, i, d: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, npix), lambda t, s, c, i, d: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((npix, 128), lambda t, s, c, i, d: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npix, 16), lambda t, s, c, i, d: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[

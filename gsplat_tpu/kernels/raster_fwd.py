@@ -121,11 +121,16 @@ def _fwd_kernel(
         t_excl = exclusive_from_inclusive(cum, 1.0)
         trans = accum[3:4]  # [1, npix]
         w = a * t_excl * trans
-        for ch in range(3):
-            rgb = feats[:, B.FEAT_R + ch][:, None]
-            accum[ch : ch + 1] = accum[ch : ch + 1] + jnp.sum(
-                w * rgb, axis=0, keepdims=True
-            )
+        # Color reduction on the MXU: rgb^T [3, cs] @ w [cs, npix] in one
+        # HIGHEST-precision (f32-exact products, f32 accumulate) matmul —
+        # cross-sublane VPU reductions would cost ~2 VREG-ops per row.
+        contrib = jax.lax.dot_general(
+            feats[:, B.FEAT_R : B.FEAT_B + 1], w,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [3, npix]
+        accum[0:3] = accum[0:3] + contrib
         new_trans = trans * cum[-1:]
         accum[3:4] = new_trans
         return new_trans

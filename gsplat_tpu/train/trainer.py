@@ -22,6 +22,10 @@ from gsplat_tpu.models.gaussians import GaussianModel
 from gsplat_tpu.ops.camera import CameraArrays, CameraParams
 from gsplat_tpu.render.pipeline import render_traced
 from gsplat_tpu.train.loss import psnr, rgb_loss
+from gsplat_tpu.utils.logging import get_logger
+from gsplat_tpu.utils.progress import progress
+
+logger = get_logger()
 
 
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
@@ -49,21 +53,32 @@ def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
 @dataclasses.dataclass
 class Trainer:
     """Single-host trainer. For multi-chip training see
-    gsplat_tpu.parallel.shard.make_parallel_train_step."""
+    gsplat_tpu.parallel.shard.make_parallel_train_step.
+
+    ``auto_pairs``: the pair buffer has static capacity
+    (``raster.max_pairs``); a denser scene would silently drop its deepest
+    splats (ops/binning.py overflow policy) and train on a truncated scene.
+    ``fit`` therefore checks the measured pair demand on its first step and
+    every ``log_every`` steps (splats grow during training); on overflow it
+    warns and — when ``auto_pairs`` — resizes the budget to the next power
+    of two above ``demand * 1.5`` (one recompile per resize).
+    """
 
     raster: RasterConfig
     train: TrainConfig
+    auto_pairs: bool = True
+    show_progress: bool = True
 
     def __post_init__(self):
         self.optimizer = make_optimizer(self.train)
 
         # The camera pose is traced data (CameraArrays), so ONE compile per
-        # image size serves every view — a static CameraParams would retrace
-        # the whole pipeline for each distinct pose.
-        @partial(jax.jit, static_argnames=("width", "height"))
-        def _step(model, opt_state, cam, target, width, height):
+        # (image size, raster config) serves every view — a static
+        # CameraParams would retrace the whole pipeline for each pose.
+        @partial(jax.jit, static_argnames=("width", "height", "cfg"))
+        def _step(model, opt_state, cam, target, width, height, cfg):
             def loss_fn(m):
-                image, _ = render_traced(m, cam, width, height, self.raster)
+                image, _ = render_traced(m, cam, width, height, cfg)
                 return rgb_loss(image, target, self.train.ssim_weight), image
 
             (loss, image), grads = jax.value_and_grad(loss_fn, has_aux=True)(model)
@@ -88,8 +103,37 @@ class Trainer:
         (model, opt_state, metrics)."""
         cam = CameraArrays.from_params(camera, dtype=model.means.dtype)
         return self._step(
-            model, opt_state, cam, target, camera.width, camera.height
+            model, opt_state, cam, target, camera.width, camera.height, self.raster
         )
+
+    def check_capacity(
+        self, model: GaussianModel, camera: CameraParams
+    ) -> RasterConfig:
+        """Warn on pair-buffer overflow for this (model, view); returns the
+        (possibly resized, power-of-two) raster config. Also updates
+        ``self.raster`` so subsequent steps use the new budget."""
+        from gsplat_tpu.render.pipeline import binning_stats
+
+        cam = CameraArrays.from_params(camera, dtype=model.means.dtype)
+        stats = binning_stats(model, cam, camera.width, camera.height, self.raster)
+        demand = int(stats["pair_demand"])
+        if demand > self.raster.max_pairs:
+            target = 1 << max(int(demand * 1.5) - 1, 1).bit_length()
+            if self.auto_pairs:
+                logger.warning(
+                    "pair buffer overflow (demand %d > capacity %d): resizing "
+                    "max_pairs to %d (one recompile)",
+                    demand, self.raster.max_pairs, target,
+                )
+                self.raster = dataclasses.replace(self.raster, max_pairs=target)
+            else:
+                logger.warning(
+                    "pair buffer overflow (demand %d > capacity %d): the "
+                    "deepest splats are being dropped — raise max_pairs "
+                    "(suggested: %d) or enable auto_pairs",
+                    demand, self.raster.max_pairs, target,
+                )
+        return self.raster
 
     def fit(
         self,
@@ -102,7 +146,10 @@ class Trainer:
         steps = steps if steps is not None else self.train.steps
         opt_state = self.init_state(model)
         history: List[Dict[str, float]] = []
-        for step in range(steps):
+        self.check_capacity(model, views[0][0])
+        for step in progress(
+            range(steps), desc="finetune", enabled=self.show_progress
+        ):
             camera, target = views[step % len(views)]
             model, opt_state, metrics = self.train_step(model, opt_state, camera, target)
             if step % self.train.log_every == 0 or step == steps - 1:
@@ -111,4 +158,6 @@ class Trainer:
                 history.append(record)
                 if log_fn is not None:
                     log_fn(record)
+                if step > 0:  # splats grow during training; re-check budget
+                    self.check_capacity(model, views[step % len(views)][0])
         return model, history

@@ -86,6 +86,55 @@ def test_finetune_improves_psnr():
     assert history[-1]["loss"] < history[0]["loss"]
 
 
+def test_trainer_auto_pairs_resizes_on_overflow():
+    """An overflowing fit must not silently train on a truncated scene:
+    with auto_pairs the budget grows (one recompile) and the steps match a
+    run that had enough capacity all along; without it, a loud warning."""
+    import logging
+
+    rng = np.random.default_rng(6)
+    arrays = random_splat_arrays(rng, 120)
+    cam = orbit_camera(0.1, width=48, height=32)
+    target = render(GaussianModel.from_arrays(arrays), cam, CFG)[0]
+    model = GaussianModel.from_arrays(arrays)
+
+    tiny = RasterConfig(tile_size=16, chunk_size=8, max_pairs=64, use_pallas=False)
+    tc = TrainConfig(steps=3, log_every=10, ssim_weight=0.0)
+
+    trainer = Trainer(raster=tiny, train=tc, show_progress=False)
+    m_auto, hist_auto = trainer.fit(model, [(cam, target)])
+    assert trainer.raster.max_pairs > 64  # resized to cover the demand
+
+    roomy = RasterConfig(
+        tile_size=16, chunk_size=8, max_pairs=trainer.raster.max_pairs,
+        use_pallas=False,
+    )
+    ref_trainer = Trainer(raster=roomy, train=tc, show_progress=False)
+    m_ref, hist_ref = ref_trainer.fit(model, [(cam, target)])
+    assert hist_auto[0]["loss"] == pytest.approx(hist_ref[0]["loss"], rel=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(m_auto.means), np.asarray(m_ref.means), rtol=1e-6, atol=1e-8
+    )
+
+    # auto_pairs off: capacity stays, a warning is emitted.
+    trainer2 = Trainer(raster=tiny, train=tc, auto_pairs=False, show_progress=False)
+    logger = logging.getLogger("gsplat_tpu")
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    h = Capture()
+    logger.addHandler(h)
+    try:
+        trainer2.fit(model, [(cam, target)], steps=1)
+    finally:
+        logger.removeHandler(h)
+    assert trainer2.raster.max_pairs == 64
+    assert any("overflow" in r for r in records), records
+
+
 def test_ply_checkpoint_roundtrip(tmp_path):
     rng = np.random.default_rng(4)
     model = GaussianModel.from_arrays(random_splat_arrays(rng, 31))
