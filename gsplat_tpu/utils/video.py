@@ -135,28 +135,39 @@ def encode_mjpeg_avi(output_path: str) -> str:
 def progressive_frames(
     model, camera, cfg, num_frames: Optional[int] = None, stride: Optional[int] = None
 ):
-    """Render depth-prefix frames: frame k shows the k*stride nearest
-    gaussians. ``stride`` defaults to the reference's 1000-gaussian cadence
-    when ``num_frames`` is not given; for large scenes pass ``num_frames``
-    (each frame is a full re-render here, unlike the reference's incremental
-    snapshots). Returns a list of numpy [H, W, 3] images."""
+    """Render progressive build-up frames: frame k shows the k*stride
+    nearest gaussians (the reference's every-1000-gaussians snapshots,
+    rasterize.py:448-450). ``stride`` defaults to that 1000-gaussian cadence
+    when ``num_frames`` is not given.
+
+    Front-to-back compositing factorizes: given the accumulated frame
+    (C, T) and the next depth slab's standalone composite (C_s, T_s),
+    the extended frame is exactly (C + T*C_s, T*T_s). So each frame only
+    rasterizes its *own* slab's pairs (gaussians outside the slab are
+    opacity-collapsed, which empties their alpha-cull rect so they emit no
+    pairs at all) and total raster work over the whole video equals ONE
+    full render — not O(frames x full render). Returns numpy [H, W, 3]
+    frames."""
     import jax.numpy as jnp
 
     from gsplat_tpu.models.gaussians import GaussianModel
     from gsplat_tpu.render.pipeline import preprocess, render
+    from gsplat_tpu.utils.progress import progress
 
     n = model.num_gaussians
     if stride is None:
         stride = SNAPSHOT_STRIDE if num_frames is None else max(1, n // num_frames)
     prep = preprocess(model, camera, cfg)
     depth_rank = np.argsort(np.argsort(np.asarray(prep.depth)))  # rank per gaussian
+    logits = np.asarray(model.opacity_logits)
 
     frames = []
-    for k in range(stride, n + stride, stride):
-        keep = depth_rank < k
-        # Disable gaussians beyond the prefix by collapsing their opacity.
-        logits = np.asarray(model.opacity_logits)
-        masked = np.where(keep, logits, -30.0).astype(logits.dtype)
+    color = None
+    trans = None
+    bounds = list(range(0, n, stride))
+    for k0 in progress(bounds, desc="progressive frames"):
+        in_slab = (depth_rank >= k0) & (depth_rank < k0 + stride)
+        masked = np.where(in_slab, logits, -30.0).astype(logits.dtype)
         sub = GaussianModel(
             means=model.means,
             log_scales=model.log_scales,
@@ -164,6 +175,11 @@ def progressive_frames(
             opacity_logits=jnp.asarray(masked),
             sh=model.sh,
         )
-        img, _ = render(sub, camera, cfg)
-        frames.append(np.asarray(img))
+        c_slab, t_slab = render(sub, camera, cfg)
+        if color is None:
+            color, trans = c_slab, t_slab
+        else:
+            color = color + trans[:, :, None] * c_slab
+            trans = trans * t_slab
+        frames.append(np.asarray(color))
     return frames

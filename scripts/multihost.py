@@ -1,0 +1,311 @@
+"""Multi-chip / multi-host scaling harness (SURVEY.md §5.8, BASELINE.md
+scaling target: >= 80% rays/s efficiency from 1 chip to >= 2 hosts).
+
+Three modes:
+
+* ``--mode virtual`` (default; no hardware needed) — build (data x tile)
+  meshes over virtual CPU devices for each requested device count, run the
+  full sharded train step, and verify gradients/losses are mesh-shape
+  invariant. This validates the *structure* (shardings compile + execute,
+  collectives correct); CPU wall-clock is not a scaling measurement because
+  all virtual devices share one host's cores.
+
+      XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+          python scripts/multihost.py --mode virtual --devices 1,2,4,8
+
+* ``--mode model`` (one real chip) — measure the sharded step's Amdahl
+  decomposition on real hardware: time the replicated per-step work (depth
+  sort + binning prologue over all N gaussians) and the per-shard work
+  (preprocess of N/tp gaussians, binning + raster of the 1/tp strided tile
+  subset) for each tp, then report projected step time, pixels/s/chip and
+  scaling efficiency. This is the honest single-chip measurement vehicle
+  for the >= 80% target until a multi-chip slice is attached.
+
+      python scripts/multihost.py --mode model --devices 1,2,4,8
+
+* ``--mode launch`` (real multi-host slice) — call per host:
+
+      COORDINATOR_ADDRESS=host0:8476 NUM_PROCESSES=2 PROCESS_ID=<i> \
+          python scripts/multihost.py --mode launch --data 2 --tile 4
+
+  wires jax.distributed from those env vars, builds the requested mesh over
+  the global device set, times the sharded train step, and reports
+  pixels/s (host 0 prints the JSON).
+
+Output: one JSON line with per-device-count points.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(__file__))
+
+import numpy as np
+
+
+def _flags():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["virtual", "model", "launch"], default="virtual")
+    ap.add_argument("--devices", default="1,2,4,8",
+                    help="device counts to evaluate (virtual/model modes)")
+    ap.add_argument("--data", type=int, default=1, help="launch: data-axis size")
+    ap.add_argument("--tile", type=int, default=0,
+                    help="launch: tile-axis size (0 = all remaining devices)")
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--gaussians", type=int, default=1_000_000)
+    ap.add_argument("--max-pairs", type=int, default=1 << 21)
+    ap.add_argument("--steps", type=int, default=8, help="timed steps")
+    return ap.parse_args()
+
+
+def _camera(width, height):
+    from gsplat_tpu.ops.camera import CameraParams
+
+    fx = 0.8 * width
+    return CameraParams(
+        width=width, height=height,
+        fov_x=2 * math.atan(width / (2 * fx)), fov_y=2 * math.atan(height / (2 * fx)),
+        focal_x=fx, focal_y=fx, qvec=(1.0, 0.0, 0.0, 0.0), tvec=(0.0, 0.0, 0.0),
+    )
+
+
+def virtual_mode(args):
+    """Functional scaling check on virtual CPU devices."""
+    import jax
+
+    # The site config may pin jax_platforms to a TPU tunnel, overriding the
+    # JAX_PLATFORMS env var — force the virtual CPU platform explicitly.
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from gsplat_tpu import MeshConfig, RasterConfig, TrainConfig
+    from gsplat_tpu.models.gaussians import random_model
+    from gsplat_tpu.ops.camera import CameraArrays
+    from gsplat_tpu.parallel.mesh import make_mesh
+    from gsplat_tpu.parallel.shard import make_parallel_train_step
+
+    width, height = 128, 96  # small: this mode checks structure, not speed
+    cfg = RasterConfig(tile_size=16, chunk_size=8, max_pairs=1 << 14,
+                       use_pallas=False)
+    model = random_model(jax.random.key(0), 2000)
+    camera = _camera(width, height)
+    target = jnp.zeros((height, width, 3), jnp.float32) + 0.3
+
+    points = []
+    ref_means = None
+    for n in [int(x) for x in args.devices.split(",")]:
+        if n > len(jax.devices()):
+            continue
+        tp = n  # pure tile sharding stresses the interesting axis
+        mesh = make_mesh(MeshConfig(data=1, tile=tp))
+        step, init_state, prep_targets = make_parallel_train_step(
+            mesh, width, height, cfg, TrainConfig(ssim_weight=0.0)
+        )
+        cams = CameraArrays.stack([CameraArrays.from_params(camera)])
+        tiles = prep_targets(jnp.stack([target]))
+        m, _, metrics = step(model, init_state(model), cams, tiles)
+        means = np.asarray(m.means)
+        if ref_means is None:
+            ref_means = means
+            drift = 0.0
+        else:
+            drift = float(np.abs(means - ref_means).max())
+            assert drift < 1e-4, f"grads not mesh invariant at tp={tp}: {drift}"
+        points.append({"devices": n, "mesh": {"data": 1, "tile": tp},
+                       "loss": float(metrics["loss"]),
+                       "max_param_drift_vs_1dev": drift, "ok": True})
+    return {"mode": "virtual", "points": points}
+
+
+def model_mode(args):
+    """Amdahl decomposition of the sharded step, measured on one real chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from bench import build_scene
+    from gsplat_tpu import RasterConfig
+    from gsplat_tpu.ops import binning
+    from gsplat_tpu.ops.camera import CameraArrays
+    from gsplat_tpu.parallel.shard import _factor_stride, _make_layout
+    from gsplat_tpu.render.pipeline import preprocess_traced
+    from gsplat_tpu.kernels.raster import rasterize_tiles, _backward_impl
+    from timing import timed
+
+    width, height = args.width, args.height
+    cfg = RasterConfig(tile_size=32, chunk_size=32, max_pairs=args.max_pairs,
+                       early_stop_transmittance=1e-4,
+                       use_pallas=jax.default_backend() == "tpu")
+    model = build_scene(args.gaussians)
+    cam = CameraArrays.from_params(_camera(width, height))
+    n = args.gaussians
+
+    points = []
+    for tp in [int(x) for x in args.devices.split(",")]:
+        lay = _make_layout(width, height, cfg.tile_size, tp)
+        n_local = -(-n // tp)
+
+        # Per-shard preprocess: N/tp gaussians.
+        sl = jax.tree.map(lambda x: x[:n_local], model)
+        prep_fn = jax.jit(lambda m, c: preprocess_traced(m, c, width, height, cfg))
+        t_prep, prep_l = timed(prep_fn, sl, cam)
+
+        # Full-N preprocess output feeds binning (the gathered arrays).
+        prep = prep_fn(model, cam) if tp > 1 else prep_l
+
+        # Per-shard binning: strided rects on the local grid. The depth
+        # sort + O(N) prologue inside bin_rects is the replicated part; the
+        # pair-scale stages shrink with tp.
+        def bin_shard(p):
+            rects = binning.strided_tile_ranges(
+                p.cull_bbox, cfg.tile_size, lay.ntx_g, lay.nty_g,
+                lay.sx, lay.sy, 0, 0,
+            )
+            return binning.bin_rects(
+                p.depth, p.active, rects, lay.ntx_l, lay.nty_l,
+                cfg.max_pairs, align=cfg.chunk_size,
+            )
+
+        t_bin, bins = timed(jax.jit(bin_shard), prep)
+
+        # Replicated-only part: the depth sort + count prologue, isolated.
+        def sort_only(p):
+            iota = jnp.arange(n, dtype=jnp.int32)
+            counts = jnp.where(p.active, 1, 0).astype(jnp.int32)
+            out = jax.lax.sort((p.depth, iota, counts, counts, counts, counts),
+                               num_keys=1, is_stable=True)
+            return out[1]
+
+        t_sort, _ = timed(jax.jit(sort_only), prep)
+
+        # Per-shard raster fwd+bwd over the local tiles.
+        feat = jax.jit(binning.pack_features)(prep)
+        li = np.arange(lay.tiles_local, dtype=np.int32)
+        tile_ids = jnp.asarray(
+            (li // lay.ntx_l * lay.sy) * lay.ntx_g + (li % lay.ntx_l) * lay.sx,
+            jnp.int32,
+        )
+
+        fwd = jax.jit(lambda f, b: rasterize_tiles(
+            f, b.pair_gaussian, b.tile_start, b.tile_count, tile_ids,
+            b.gaussian_counts, lay.ntx_g, cfg))
+        t_fwd, (color, trans) = timed(fwd, feat, bins)
+
+        g_c = jnp.ones_like(color) * 0.1
+        g_t = jnp.zeros_like(trans)
+        chunks_done = -(-bins.tile_count // cfg.chunk_size)
+        bwd = jax.jit(lambda f, b, c, t: _backward_impl(
+            f, b.pair_gaussian, b.tile_start, b.tile_count, tile_ids,
+            c, t, g_c, g_t, chunks_done, b.gaussian_counts, lay.ntx_g, cfg))
+        t_bwd, _ = timed(bwd, feat, bins, color, trans)
+
+        num_pairs = int(bins.num_pairs)
+        step = t_sort + t_prep + (t_bin - t_sort) + t_fwd + t_bwd
+        t1 = points[0]["proj_step_sec"] if points else step
+        points.append({
+            "devices": tp,
+            "mesh": {"data": 1, "tile": tp},
+            "replicated_sort_sec": round(t_sort, 4),
+            "shard_prep_sec": round(t_prep, 4),
+            "shard_bin_sec": round(t_bin - t_sort, 4),
+            "shard_fwd_sec": round(t_fwd, 4),
+            "shard_bwd_sec": round(t_bwd, 4),
+            "proj_step_sec": round(step, 4),
+            "local_pairs": num_pairs,
+            "serial_fraction": round(t_sort / step, 4),
+            "proj_pixels_per_sec": round(width * height / step / 1e6, 2),
+            # T1 / (tp * T_tp): whole-frame speedup per chip count
+            "proj_efficiency_vs_1": round(t1 / (tp * step), 4) if points else 1.0,
+        })
+    return {"mode": "model", "width": width, "height": height,
+            "gaussians": n, "points": points,
+            "note": "projection excludes the per-camera feature all-gather "
+                    "(~N*88B over ICI at ~45GB/s/link: ~2ms at 1M gaussians) "
+                    "and assumes balanced shards; measure with --mode launch "
+                    "on a real slice"}
+
+
+def launch_mode(args):
+    """Real multi-host run: jax.distributed from env, timed sharded step."""
+    import jax
+
+    from gsplat_tpu.parallel.mesh import initialize_distributed
+
+    coord = os.environ.get("COORDINATOR_ADDRESS")
+    nproc = os.environ.get("NUM_PROCESSES")
+    pid = os.environ.get("PROCESS_ID")
+    if coord and nproc:
+        initialize_distributed(
+            coordinator_address=coord,
+            num_processes=int(nproc),
+            process_id=int(pid or 0),
+        )
+
+    import jax.numpy as jnp
+
+    from bench import build_scene
+    from gsplat_tpu import MeshConfig, RasterConfig, TrainConfig
+    from gsplat_tpu.ops.camera import CameraArrays
+    from gsplat_tpu.parallel.mesh import make_mesh
+    from gsplat_tpu.parallel.shard import make_parallel_train_step
+
+    ndev = len(jax.devices())
+    tile = args.tile or (ndev // args.data)
+    mesh = make_mesh(MeshConfig(data=args.data, tile=tile))
+    width, height = args.width, args.height
+    cfg = RasterConfig(tile_size=32, chunk_size=32, max_pairs=args.max_pairs,
+                       early_stop_transmittance=1e-4,
+                       use_pallas=jax.default_backend() == "tpu")
+    model = build_scene(args.gaussians)
+    step, init_state, prep_targets = make_parallel_train_step(
+        mesh, width, height, cfg, TrainConfig(ssim_weight=0.2)
+    )
+    cams = CameraArrays.stack(
+        [CameraArrays.from_params(_camera(width, height))] * args.data
+    )
+    tiles = prep_targets(
+        jnp.zeros((args.data, height, width, 3), jnp.float32) + 0.25
+    )
+    opt_state = init_state(model)
+    model, opt_state, metrics = step(model, opt_state, cams, tiles)  # compile
+    float(metrics["loss"])
+    start = time.perf_counter()
+    for _ in range(args.steps):
+        model, opt_state, metrics = step(model, opt_state, cams, tiles)
+    float(metrics["loss"])
+    sec = (time.perf_counter() - start) / args.steps
+    return {
+        "mode": "launch", "devices": ndev,
+        "mesh": {"data": args.data, "tile": tile},
+        "hosts": jax.process_count(),
+        "sec_per_step": round(sec, 4),
+        "frames_per_sec": round(args.data / sec, 3),
+        "pixels_per_sec_per_chip": round(
+            args.data * width * height / sec / ndev / 1e6, 2),
+        "loss": float(metrics["loss"]),
+    }
+
+
+def main():
+    args = _flags()
+    if args.mode == "virtual":
+        out = virtual_mode(args)
+    elif args.mode == "model":
+        out = model_mode(args)
+    else:
+        out = launch_mode(args)
+    import jax
+
+    if jax.process_index() == 0:
+        print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

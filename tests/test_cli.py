@@ -101,3 +101,26 @@ def test_cli_evaluate(scene_dir, tmp_path):
     metrics = json.load(open(os.path.join(out, "metrics.json")))
     assert metrics["views"] and np.isfinite(metrics["mean_psnr"])
     assert -1.0 <= metrics["mean_ssim"] <= 1.0
+
+
+def test_progressive_frames_converge_to_full_render(scene_dir):
+    """Incremental slab compositing (C + T*C_slab) must reproduce the full
+    render exactly at the last frame, and build up monotonically."""
+    from gsplat_tpu import RasterConfig, render
+    from gsplat_tpu.io.ply import load_splat_arrays
+    from gsplat_tpu.io.scene import checkpoint_ply_path
+    from gsplat_tpu.models.gaussians import GaussianModel
+    from gsplat_tpu.utils.video import progressive_frames
+    from fixtures import make_camera
+
+    cfg = RasterConfig(tile_size=16, chunk_size=8, max_pairs=1 << 13, use_pallas=False)
+    model = GaussianModel.from_arrays(
+        load_splat_arrays(checkpoint_ply_path(os.path.join(scene_dir, "model")))
+    )
+    camera = make_camera(64, 48)
+    frames = progressive_frames(model, camera, cfg, num_frames=5)
+    full = np.asarray(render(model, camera, cfg)[0])
+    np.testing.assert_allclose(frames[-1], full, rtol=1e-5, atol=1e-6)
+    # opacity is accumulated front-to-back: per-pixel brightness sum never decreases
+    sums = [f.sum() for f in frames]
+    assert all(b >= a - 1e-3 for a, b in zip(sums, sums[1:])), sums
