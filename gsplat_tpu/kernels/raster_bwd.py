@@ -279,6 +279,7 @@ def backward_tiles_pallas(
     chunks_done: jnp.ndarray | None = None,
     gaussian_counts: jnp.ndarray | None = None,
     interpret: bool = False,
+    pair_feat: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Gradient of the tile compositor w.r.t. ``feat`` ([N+1, 16]).
 
@@ -302,10 +303,10 @@ def backward_tiles_pallas(
     num_tiles = tile_ids.shape[0]
     p_pad = pair_gaussian.shape[0] + cs
 
-    pair_feat = jnp.concatenate(
-        [feat[pair_gaussian], jnp.zeros((cs, feat.shape[-1]), feat.dtype)], axis=0
-    )
-    pair_feat = jnp.pad(pair_feat, ((0, 0), (0, 128 - B.NUM_FEATURES)))
+    if pair_feat is None:
+        from gsplat_tpu.kernels.raster_fwd import build_pair_feat
+
+        pair_feat = build_pair_feat(feat, pair_gaussian, cs)
 
     f32 = jnp.float32
     # Pack per-tile forward outputs and cotangents as [T, 8, npix].
@@ -411,11 +412,14 @@ def backward_tiles_pallas(
     # (parallel/shard.py), so this fast path is live under sharding too.
     cols = [pair_grads[:, j] for j in range(9)]
     sorted_ops = jax.lax.sort((idx, *cols), num_keys=1, is_stable=False)
-    sg = jnp.stack(sorted_ops[1:], axis=1)  # [P, 9], grouped by gaussian id
-    cum = jnp.cumsum(sg, axis=0)
+    # Cumsum each column FLAT: a [P, 9] array tiles to 128 lanes on TPU
+    # (14x pad), so a 2D cumsum's log-passes stream ~1 GB each; flat [P]
+    # columns scan dense. Only the final stack materializes [P, 9] once,
+    # for the row-gather at segment ends.
+    cum9 = jnp.stack([jnp.cumsum(c) for c in sorted_ops[1:]], axis=1)
     ends = jnp.cumsum(gaussian_counts)
     at = jnp.maximum(ends - 1, 0)
-    gathered = jnp.where((ends > 0)[:, None], cum[at], 0.0)
+    gathered = jnp.where((ends > 0)[:, None], cum9[at], 0.0)
     prev = jnp.concatenate([jnp.zeros((1, 9), f32), gathered[:-1]], axis=0)
     sums = gathered - prev  # [N, 9] in gaussian id order
     d_feat = jnp.pad(sums, ((0, 1), (0, B.NUM_FEATURES - 9)))

@@ -171,6 +171,21 @@ def _fwd_kernel(
     out_ref[0] = accum[:]
 
 
+def build_pair_feat(
+    feat: jnp.ndarray, pair_gaussian: jnp.ndarray, chunk_size: int
+) -> jnp.ndarray:
+    """Gather per-pair features for the kernels' chunked DMA: one XLA row
+    gather, plus one chunk of zero rows so the last DMA of the last tile
+    never reads out of bounds, and a 16 -> 128 lane pad (TPU DMA slices
+    must be 128-lane aligned). The result is shared between the forward and
+    backward kernels (the gather is ~half a kernel's cost at 2M pairs)."""
+    pair_feat = jnp.concatenate(
+        [feat[pair_gaussian], jnp.zeros((chunk_size, feat.shape[-1]), feat.dtype)],
+        axis=0,
+    )
+    return jnp.pad(pair_feat, ((0, 0), (0, 128 - B.NUM_FEATURES)))
+
+
 @functools.partial(jax.jit, static_argnames=("n_tiles_x", "cfg", "interpret"))
 def forward_tiles_pallas(
     feat: jnp.ndarray,
@@ -181,6 +196,7 @@ def forward_tiles_pallas(
     n_tiles_x: int,
     cfg: RasterConfig,
     interpret: bool = False,
+    pair_feat: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Rasterize the given tiles with the Pallas kernel.
 
@@ -193,13 +209,8 @@ def forward_tiles_pallas(
     npix = ts * ts
     num_tiles = tile_ids.shape[0]
 
-    # Gather per-pair features once (XLA gather); pad one chunk of zero rows
-    # so the last DMA of the last tile never reads out of bounds, and pad the
-    # feature lanes 16 -> 128 (TPU DMA slices must be 128-lane aligned).
-    pair_feat = jnp.concatenate(
-        [feat[pair_gaussian], jnp.zeros((cs, feat.shape[-1]), feat.dtype)], axis=0
-    )
-    pair_feat = jnp.pad(pair_feat, ((0, 0), (0, 128 - B.NUM_FEATURES)))
+    if pair_feat is None:
+        pair_feat = build_pair_feat(feat, pair_gaussian, cs)
 
     kernel = functools.partial(
         _fwd_kernel,

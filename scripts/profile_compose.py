@@ -51,7 +51,7 @@ def main():
             prep, WIDTH, HEIGHT, cfg.tile_size, cfg.max_pairs, align=cfg.chunk_size
         )
         feat = binning.pack_features(prep)
-        color, trans, _ = _forward_impl(
+        color, trans, _, _ = _forward_impl(
             feat, bins.pair_gaussian, bins.tile_start, bins.tile_count,
             tile_ids, n_tiles_x, cfg,
         )

@@ -68,7 +68,7 @@ def main():
     fwd_fn = jax.jit(
         lambda f, pg, ts, tc: _forward_impl(f, pg, ts, tc, tile_ids, n_tiles_x, cfg)
     )
-    t_fwd, (color, trans, chunks_done) = timed(fwd_fn, feat, bins.pair_gaussian, bins.tile_start, bins.tile_count)
+    t_fwd, (color, trans, chunks_done, _pf) = timed(fwd_fn, feat, bins.pair_gaussian, bins.tile_start, bins.tile_count)
 
     g_color = jnp.ones_like(color) * 0.1
     g_trans = jnp.zeros_like(trans)
