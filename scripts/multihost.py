@@ -151,6 +151,14 @@ def model_mode(args):
     for tp in [int(x) for x in args.devices.split(",")]:
         lay = _make_layout(width, height, cfg.tile_size, tp)
         n_local = -(-n // tp)
+        # Per-shard pair capacity scales with the shard's tile share (the
+        # sharded step sizes its own buffer; P-scale costs must shrink with
+        # tp for the measurement to reflect the real design).
+        local_cap = max(args.max_pairs // tp, 1 << 16)
+        local_cap -= local_cap % cfg.chunk_size
+        import dataclasses as _dc
+
+        shard_cfg = _dc.replace(cfg, max_pairs=local_cap)
 
         # Per-shard preprocess: N/tp gaussians.
         sl = jax.tree.map(lambda x: x[:n_local], model)
@@ -170,7 +178,7 @@ def model_mode(args):
             )
             return binning.bin_rects(
                 p.depth, p.active, rects, lay.ntx_l, lay.nty_l,
-                cfg.max_pairs, align=cfg.chunk_size,
+                shard_cfg.max_pairs, align=shard_cfg.chunk_size,
             )
 
         t_bin, bins = timed(jax.jit(bin_shard), prep)
@@ -195,7 +203,7 @@ def model_mode(args):
 
         fwd = jax.jit(lambda f, b: rasterize_tiles(
             f, b.pair_gaussian, b.tile_start, b.tile_count, tile_ids,
-            b.gaussian_counts, lay.ntx_g, cfg))
+            b.gaussian_counts, lay.ntx_g, shard_cfg))
         t_fwd, (color, trans) = timed(fwd, feat, bins)
 
         g_c = jnp.ones_like(color) * 0.1
@@ -203,7 +211,7 @@ def model_mode(args):
         chunks_done = -(-bins.tile_count // cfg.chunk_size)
         bwd = jax.jit(lambda f, b, c, t: _backward_impl(
             f, b.pair_gaussian, b.tile_start, b.tile_count, tile_ids,
-            c, t, g_c, g_t, chunks_done, b.gaussian_counts, lay.ntx_g, cfg))
+            c, t, g_c, g_t, chunks_done, b.gaussian_counts, lay.ntx_g, shard_cfg))
         t_bwd, _ = timed(bwd, feat, bins, color, trans)
 
         num_pairs = int(bins.num_pairs)

@@ -152,3 +152,37 @@ def test_binning_stats_and_suggest_max_pairs():
     suggested = suggest_max_pairs(model, camera, tiny, headroom=2.0)
     assert suggested >= int(s["pair_demand"]) * 2 / 2  # pow2 roundup of 2x demand
     assert suggested & (suggested - 1) == 0
+
+
+def test_strided_tile_ranges_brute_force():
+    """strided_tile_ranges must enumerate exactly the shard-owned tiles of
+    each rect, for every (stride, offset) and random bboxes."""
+    rng = np.random.default_rng(17)
+    n, ts, ntx, nty = 200, 16, 9, 7
+    w, h = ntx * ts, nty * ts
+    x0 = rng.integers(-10, w + 10, n)
+    y0 = rng.integers(-10, h + 10, n)
+    bbox = np.stack(
+        [x0, y0, x0 + rng.integers(0, 80, n), y0 + rng.integers(0, 80, n)], -1
+    ).astype(np.int32)
+    for sx, sy in [(1, 1), (2, 1), (2, 2), (4, 2), (3, 2)]:
+        for ox in range(sx):
+            for oy in range(sy):
+                lx0, ly0, lnx, lny = binning.strided_tile_ranges(
+                    jnp.asarray(bbox), ts, ntx, nty, sx, sy, ox, oy
+                )
+                gx0, gy0, gnx, gny = binning.tile_ranges(
+                    jnp.asarray(bbox), ts, ntx, nty
+                )
+                for i in range(n):
+                    want_x = [t for t in range(int(gx0[i]), int(gx0[i]) + int(gnx[i]))
+                              if t % sx == ox]
+                    want_y = [t for t in range(int(gy0[i]), int(gy0[i]) + int(gny[i]))
+                              if t % sy == oy]
+                    got_x = [ox + (int(lx0[i]) + j) * sx for j in range(int(lnx[i]))]
+                    got_y = [oy + (int(ly0[i]) + j) * sy for j in range(int(lny[i]))]
+                    if int(gnx[i]) == 0 or int(gny[i]) == 0:
+                        assert int(lnx[i]) * int(lny[i]) == 0
+                    else:
+                        assert got_x == want_x, (i, sx, ox, got_x, want_x)
+                        assert got_y == want_y, (i, sy, oy, got_y, want_y)
