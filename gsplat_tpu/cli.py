@@ -299,10 +299,16 @@ def evaluate(
 @click.option("--ssim-weight", type=float, default=0.2)
 @click.option("--save-iteration", type=int, default=30001,
               help="iteration label for the exported PLY checkpoint")
+@click.option("--densify/--no-densify", default=False,
+              help="adaptive density control (3DGS clone/split/prune on a "
+                   "fixed-capacity pool; see DensifyConfig)")
+@click.option("--densify-every", type=int, default=100)
+@click.option("--densify-grad-threshold", type=float, default=2e-4)
 def finetune(
     input_dir, trained_model_path, scene_index, scale_factor,
     tile_size, chunk_size, max_pairs, early_stop, backend, auto_pairs,
     output_path, steps, ssim_weight, save_iteration,
+    densify, densify_every, densify_grad_threshold,
 ):
     """Fine-tune the splat model against the scene's ground-truth views
     (BASELINE.json config 4: the full-VJP workload)."""
@@ -331,9 +337,16 @@ def finetune(
         views.append((cam, gt))
     logger.info("fine-tuning on %d views for %d steps", len(views), steps)
 
+    from gsplat_tpu.config import DensifyConfig
+
+    dcfg = (
+        DensifyConfig(every=densify_every, grad_threshold=densify_grad_threshold)
+        if densify
+        else None
+    )
     trainer = Trainer(
         raster=cfg,
-        train=TrainConfig(steps=steps, ssim_weight=ssim_weight),
+        train=TrainConfig(steps=steps, ssim_weight=ssim_weight, densify=dcfg),
         auto_pairs=auto_pairs,
     )
     model, history = trainer.fit(

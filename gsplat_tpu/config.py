@@ -66,6 +66,39 @@ class RasterConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class DensifyConfig:
+    """Adaptive density control (the 3DGS clone/split/prune recipe) on a
+    fixed-capacity gaussian pool — static shapes throughout, so densification
+    never recompiles: pruned slots become inert (opacity collapsed -> zero
+    pairs) and are reused by later clones/splits.
+
+    Attributes:
+      every/start/until: run the densify+prune pass every ``every`` steps
+        within [start, until).
+      grad_threshold: mean viewspace (screen-pixel) positional-gradient norm
+        above which a gaussian is densified.
+      min_opacity: activated opacity below which a gaussian is pruned.
+      percent_dense: scale cutoff (fraction of the camera extent) separating
+        clone (small splat, under-reconstruction) from split (large splat,
+        over-reconstruction).
+      split_factor: scale shrink for split gaussians.
+      opacity_reset_every: clamp opacity to <= 0.01 at this cadence
+        (0 = never).
+      pool_factor: pool capacity = pool_factor * initial gaussian count.
+    """
+
+    every: int = 100
+    start: int = 100
+    until: int = 1 << 30
+    grad_threshold: float = 2e-4
+    min_opacity: float = 0.005
+    percent_dense: float = 0.01
+    split_factor: float = 1.6
+    opacity_reset_every: int = 0
+    pool_factor: float = 2.0
+
+
+@dataclasses.dataclass(frozen=True)
 class TrainConfig:
     """Training / fine-tuning settings (the reference is inference-only;
     this covers the backward-pass workload from BASELINE.json)."""
@@ -79,6 +112,7 @@ class TrainConfig:
     steps: int = 1000
     log_every: int = 50
     checkpoint_every: int = 500
+    densify: Optional[DensifyConfig] = None
 
 
 @dataclasses.dataclass(frozen=True)

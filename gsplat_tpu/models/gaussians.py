@@ -87,6 +87,39 @@ class GaussianModel:
         return f"GaussianModel(num_gaussians={self.means.shape[0]})"
 
 
+DEAD_OPACITY_LOGIT = -30.0
+# sigmoid(-30) ~ 9e-14: far below the 1/255 alpha gate, so a dead slot's
+# alpha-cull rect is empty and it can never emit a (tile, gaussian) pair.
+
+
+def pad_model(
+    model: GaussianModel, total: int, dead_logit: float = DEAD_OPACITY_LOGIT
+) -> GaussianModel:
+    """Pad the gaussian axis to ``total`` rows with inert splats (identity
+    quats keep every preprocess intermediate finite). Used by tile shards
+    (equal slice sizes) and the densification pool (free slots)."""
+    n = model.num_gaussians
+    extra = total - n
+    if extra == 0:
+        return model
+    pad_quats = jnp.tile(
+        jnp.asarray([1.0, 0.0, 0.0, 0.0], model.quats.dtype), (extra, 1)
+    )
+
+    def pad(x, fill=0.0):
+        return jnp.concatenate(
+            [x, jnp.full((extra,) + x.shape[1:], fill, x.dtype)], axis=0
+        )
+
+    return GaussianModel(
+        means=pad(model.means),
+        log_scales=pad(model.log_scales),
+        quats=jnp.concatenate([model.quats, pad_quats], axis=0),
+        opacity_logits=pad(model.opacity_logits, dead_logit),
+        sh=pad(model.sh),
+    )
+
+
 def random_model(key: jax.Array, n: int, extent: float = 1.0) -> GaussianModel:
     """Random splat model for tests/benchmarks."""
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)

@@ -114,9 +114,18 @@ class CameraParams:
         """Build from COLMAP ``BaseImage`` + ``Camera`` records.
 
         The reference hardcodes camera id 1 and takes fx, fy from
-        ``params[0:2]`` (rasterize.py:336-343, PINHOLE model).
+        ``params[0:2]`` (rasterize.py:336-343) — correct only for PINHOLE.
+        Single-focal models (SIMPLE_PINHOLE / SIMPLE_RADIAL / RADIAL /
+        FOV / *_FISHEYE) store (f, cx, cy, ...), so fx = fy = params[0];
+        distortion coefficients are ignored (the splatting pipeline, like
+        the reference, assumes an undistorted pinhole projection).
         """
-        fx, fy = float(camera.params[0]), float(camera.params[1])
+        single_focal = getattr(camera, "model", "PINHOLE") in {
+            "SIMPLE_PINHOLE", "SIMPLE_RADIAL", "RADIAL", "FOV",
+            "SIMPLE_RADIAL_FISHEYE", "RADIAL_FISHEYE",
+        }
+        fx = float(camera.params[0])
+        fy = fx if single_focal else float(camera.params[1])
         fov_x, fov_y = fov_from_focal(camera.width, camera.height, fx, fy)
         return CameraParams(
             width=int(render_width),

@@ -279,8 +279,14 @@ def preprocess_gaussians_from_params(
     width: int,
     height: int,
     strict_parity: bool = True,
+    screen_offset: jnp.ndarray | None = None,
 ) -> Preprocessed:
     """Struct-of-arrays preprocess straight from raw activated parameters.
+
+    ``screen_offset`` ([N, 2], normally all-zero) is added to the pixel-space
+    means; differentiating the render with respect to it yields the exact
+    *viewspace* positional gradient the 3DGS densification heuristic keys on
+    (train/densify.py) without re-deriving it from world-space grads.
 
     Mathematically identical to :func:`preprocess_gaussians` (same reference
     parity, rasterize.py:370-425), but every intermediate is a flat ``[N]``
@@ -346,6 +352,9 @@ def preprocess_gaussians_from_params(
     inv_w = 1.0 / (clip_w + PERSPECTIVE_EPS)
     mean_px = ((clip_x * inv_w + 1.0) * width - 1.0) / 2.0
     mean_py = ((clip_y * inv_w + 1.0) * height - 1.0) / 2.0
+    if screen_offset is not None:
+        mean_px = mean_px + screen_offset[:, 0]
+        mean_py = mean_py + screen_offset[:, 1]
 
     # -- EWA projection (rasterize.py:201-252): J has two nonzero rows;
     #    T = J W with W = w2c rotation, i.e. W[k, j] = w2c_t[j, k] --

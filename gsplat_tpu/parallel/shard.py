@@ -38,7 +38,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from gsplat_tpu.config import RasterConfig, TrainConfig
 from gsplat_tpu.kernels.raster import rasterize_tiles
-from gsplat_tpu.models.gaussians import GaussianModel
+from gsplat_tpu.models.gaussians import GaussianModel, pad_model as _pad_model
 from gsplat_tpu.ops import binning
 from gsplat_tpu.ops.camera import CameraArrays
 from gsplat_tpu.parallel.mesh import DATA_AXIS, TILE_AXIS
@@ -96,30 +96,6 @@ def _make_layout(width: int, height: int, tile_size: int, tp: int) -> _ShardLayo
     return _ShardLayout(sy, sx, ntx_g, nty_g, ntx_l, nty_l, pos, src)
 
 
-def _pad_model(model: GaussianModel, total: int) -> GaussianModel:
-    """Pad the gaussian axis to ``total`` rows with inert splats (opacity
-    sigmoid(-30) ~ 1e-13 -> the alpha-cull rect is empty, so pads can never
-    generate pairs; identity quats keep every intermediate finite)."""
-    n = model.num_gaussians
-    extra = total - n
-    if extra == 0:
-        return model
-    pad_quats = jnp.tile(
-        jnp.asarray([1.0, 0.0, 0.0, 0.0], model.quats.dtype), (extra, 1)
-    )
-
-    def pad(x, fill=0.0):
-        return jnp.concatenate(
-            [x, jnp.full((extra,) + x.shape[1:], fill, x.dtype)], axis=0
-        )
-
-    return GaussianModel(
-        means=pad(model.means),
-        log_scales=pad(model.log_scales),
-        quats=jnp.concatenate([model.quats, pad_quats], axis=0),
-        opacity_logits=pad(model.opacity_logits, -30.0),
-        sh=pad(model.sh),
-    )
 
 
 def _shard_render_tiles(

@@ -37,8 +37,12 @@ def preprocess_traced(
     width: int,
     height: int,
     cfg: RasterConfig,
+    screen_offset=None,
 ) -> Preprocessed:
-    """Per-gaussian preprocess for one (traced) camera (rasterize.py:353-425)."""
+    """Per-gaussian preprocess for one (traced) camera (rasterize.py:353-425).
+
+    ``screen_offset``: optional [N, 2] viewspace-gradient probe
+    (ops/projection.py; used by the densifying trainer)."""
     rgb = sh_to_rgb(model.means, model.sh, cam.cam_center, degree=cfg.sh_degree)
     return preprocess_gaussians_from_params(
         means=model.means,
@@ -55,6 +59,7 @@ def preprocess_traced(
         width=width,
         height=height,
         strict_parity=cfg.strict_parity,
+        screen_offset=screen_offset,
     )
 
 
@@ -77,12 +82,15 @@ def render_traced(
     width: int,
     height: int,
     cfg: RasterConfig = RasterConfig(),
+    screen_offset=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Render one view from traced camera arrays.
 
-    Returns (image [H, W, 3], transmittance [H, W]).
+    Returns (image [H, W, 3], transmittance [H, W]). ``screen_offset``
+    ([N, 2], optional) shifts pixel-space means — the densifying trainer
+    differentiates w.r.t. an all-zero offset to read viewspace gradients.
     """
-    prep = preprocess_traced(model, cam, width, height, cfg)
+    prep = preprocess_traced(model, cam, width, height, cfg, screen_offset)
     bins = binning.bin_gaussians(
         prep, width, height, cfg.tile_size, cfg.max_pairs, align=cfg.chunk_size
     )

@@ -89,6 +89,27 @@ class Trainer:
 
         self._step = _step
 
+        # Densifying variant: the loss is additionally differentiated w.r.t.
+        # an all-zero pixel-space offset on the projected means — the exact
+        # viewspace gradient 3DGS's densification heuristic accumulates.
+        @partial(jax.jit, static_argnames=("width", "height", "cfg"))
+        def _step_vs(model, opt_state, cam, target, width, height, cfg):
+            offset = jnp.zeros((model.num_gaussians, 2), model.means.dtype)
+
+            def loss_fn(m, off):
+                image, _ = render_traced(m, cam, width, height, cfg, off)
+                return rgb_loss(image, target, self.train.ssim_weight), image
+
+            (loss, image), (grads, vs_grad) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(model, offset)
+            updates, opt_state = self.optimizer.update(grads, opt_state, model)
+            model = optax.apply_updates(model, updates)
+            metrics = {"loss": loss, "psnr": psnr(image, target)}
+            return model, opt_state, metrics, vs_grad
+
+        self._step_vs = _step_vs
+
     def init_state(self, model: GaussianModel):
         return self.optimizer.init(model)
 
@@ -142,8 +163,22 @@ class Trainer:
         steps: Optional[int] = None,
         log_fn=None,
     ) -> Tuple[GaussianModel, List[Dict[str, float]]]:
-        """Round-robin over (camera, ground-truth image) views."""
+        """Round-robin over (camera, ground-truth image) views.
+
+        With ``train.densify`` set, the model moves into a fixed-capacity
+        pool (train/densify.py), viewspace gradients are accumulated every
+        step, and the clone/split/prune pass runs at the configured cadence;
+        the returned model is compacted back to its live gaussians.
+        """
         steps = steps if steps is not None else self.train.steps
+        dc = self.train.densify
+        if dc is not None:
+            from gsplat_tpu.train import densify as D
+
+            extent = D.camera_extent([c for c, _ in views])
+            model = D.init_pool(model, dc)
+            dstate = D.DensifyState.zero(model.num_gaussians)
+            key = jax.random.key(0)
         opt_state = self.init_state(model)
         history: List[Dict[str, float]] = []
         self.check_capacity(model, views[0][0])
@@ -151,7 +186,35 @@ class Trainer:
             range(steps), desc="finetune", enabled=self.show_progress
         ):
             camera, target = views[step % len(views)]
-            model, opt_state, metrics = self.train_step(model, opt_state, camera, target)
+            if dc is None:
+                model, opt_state, metrics = self.train_step(
+                    model, opt_state, camera, target
+                )
+            else:
+                cam = CameraArrays.from_params(camera, dtype=model.means.dtype)
+                model, opt_state, metrics, vs_grad = self._step_vs(
+                    model, opt_state, cam, target, camera.width, camera.height,
+                    self.raster,
+                )
+                dstate = D.accumulate(dstate, vs_grad)
+                in_window = dc.start <= step < dc.until
+                if in_window and step > 0 and step % dc.every == 0:
+                    key, sub = jax.random.split(key)
+                    model, touched, dstats = D.densify_prune_step(
+                        model, dstate, sub, extent, dc
+                    )
+                    opt_state = D.reset_opt_rows(opt_state, touched)
+                    dstate = D.DensifyState.zero(model.num_gaussians)
+                    logger.info(
+                        "densify @%d: +%d clone +%d split -%d prune (%d alive)",
+                        step, int(dstats["cloned"]), int(dstats["split"]),
+                        int(dstats["pruned"]), int(dstats["alive"]),
+                    )
+                    self.check_capacity(model, camera)
+                if dc.opacity_reset_every and step > 0 and (
+                    step % dc.opacity_reset_every == 0
+                ):
+                    model = D.reset_opacity(model)
             if step % self.train.log_every == 0 or step == steps - 1:
                 record = {k: float(v) for k, v in metrics.items()}
                 record["step"] = step
@@ -160,4 +223,8 @@ class Trainer:
                     log_fn(record)
                 if step > 0:  # splats grow during training; re-check budget
                     self.check_capacity(model, views[step % len(views)][0])
+        if dc is not None:
+            from gsplat_tpu.train import densify as D
+
+            model = D.compact(model)
         return model, history

@@ -153,3 +153,29 @@ def test_points3d_binary(tmp_path):
     np.testing.assert_allclose(xyzs, rx)
     np.testing.assert_allclose(rgbs, rr)
     np.testing.assert_allclose(errors, re)
+
+
+def test_from_colmap_single_focal_models():
+    """SIMPLE_PINHOLE-family intrinsics store (f, cx, cy): fy must come from
+    params[0], not params[1] (which is cx)."""
+    import numpy as np
+
+    from gsplat_tpu.io import colmap
+    from gsplat_tpu.ops.camera import CameraParams
+
+    image = colmap.BaseImage(
+        id=1, qvec=np.array([1.0, 0, 0, 0]), tvec=np.zeros(3), camera_id=1,
+        name="x.jpg", xys=np.zeros((0, 2)), point3D_ids=np.zeros(0, np.int64),
+    )
+    simple = colmap.Camera(
+        id=1, model="SIMPLE_PINHOLE", width=640, height=480,
+        params=np.array([500.0, 320.0, 240.0]),
+    )
+    cam = CameraParams.from_colmap(image, simple, 640, 480)
+    assert cam.focal_x == cam.focal_y == 500.0
+    pinhole = colmap.Camera(
+        id=1, model="PINHOLE", width=640, height=480,
+        params=np.array([500.0, 510.0, 320.0, 240.0]),
+    )
+    cam2 = CameraParams.from_colmap(image, pinhole, 640, 480)
+    assert (cam2.focal_x, cam2.focal_y) == (500.0, 510.0)

@@ -160,3 +160,111 @@ def test_orbax_train_state_roundtrip(tmp_path):
 
     n_leaves = len(jax.tree.leaves(opt_state))
     assert len(jax.tree.leaves(restored_opt)) == n_leaves
+
+
+def test_densify_prune_step_semantics():
+    """Hand-built pool: low-opacity slot pruned (freed), high-grad small
+    splat cloned into a free slot, high-grad large splat split (both halves
+    shrunk, sampled mean), optimizer rows of touched slots flagged."""
+    import jax
+    import jax.numpy as jnp
+
+    from gsplat_tpu.config import DensifyConfig
+    from gsplat_tpu.models.gaussians import DEAD_OPACITY_LOGIT, GaussianModel
+    from gsplat_tpu.train import densify as D
+
+    # pool of 8: [0]=dying, [1]=small+high grad, [2]=big+high grad,
+    # [3]=quiet, [4..7]=dead (free)
+    c = 8
+    model = GaussianModel(
+        means=jnp.arange(c * 3, dtype=jnp.float32).reshape(c, 3),
+        log_scales=jnp.full((c, 3), -4.0).at[2].set(0.0),  # slot 2 is huge
+        quats=jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (c, 1)),
+        opacity_logits=jnp.asarray(
+            [-7.0, 2.0, 2.0, 2.0] + [DEAD_OPACITY_LOGIT] * 4
+        ),  # sigmoid(-7) ~ 9e-4 < min_opacity
+        sh=jnp.zeros((c, 16, 3)).at[1, 0, 0].set(0.7),
+    )
+    state = D.DensifyState(
+        grad_sum=jnp.asarray([0.0, 1.0, 1.0, 0.0, 0, 0, 0, 0]),
+        grad_count=jnp.asarray([1, 1, 1, 1, 0, 0, 0, 0], jnp.int32),
+    )
+    cfg = DensifyConfig(grad_threshold=0.5, percent_dense=0.01)
+    new, touched, stats = D.densify_prune_step(
+        model, state, jax.random.key(0), 10.0, cfg  # extent 10 -> cutoff 0.1
+    )
+    assert int(stats["pruned"]) == 1
+    assert int(stats["cloned"]) == 1
+    assert int(stats["split"]) == 1
+    assert int(stats["alive"]) == 5  # 3 survivors + clone + split half
+    alive = np.asarray(D.alive_mask(new))
+    assert alive[1] and alive[2] and alive[3]
+    # two new slots allocated among the freed region (the just-pruned slot 0
+    # is legitimately reusable in the same pass)
+    free_region = [0] + list(range(4, 8))
+    assert sum(alive[i] for i in free_region) == 2
+    # the clone of slot 1 is an exact copy somewhere in the free region
+    clones = [
+        i for i in free_region
+        if alive[i] and abs(float(new.sh[i, 0, 0]) - 0.7) < 1e-6
+    ]
+    assert len(clones) == 1
+    np.testing.assert_allclose(
+        np.asarray(new.means[clones[0]]), np.asarray(model.means[1])
+    )
+    np.testing.assert_allclose(
+        np.asarray(new.log_scales[clones[0]]), np.asarray(model.log_scales[1])
+    )
+    # the split half shrank, and so did the original
+    splits = [i for i in free_region if alive[i] and i not in clones]
+    assert len(splits) == 1
+    import math as _m
+
+    np.testing.assert_allclose(
+        np.asarray(new.log_scales[splits[0]]),
+        np.asarray(model.log_scales[2]) - _m.log(cfg.split_factor),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(new.log_scales[2]),
+        np.asarray(model.log_scales[2]) - _m.log(cfg.split_factor),
+        rtol=1e-6,
+    )
+    t = np.asarray(touched)
+    assert t[0] and t[2] and t[clones[0]] and t[splits[0]] and not t[1] and not t[3]
+    # pruned-but-unreused slots are dead
+    assert not any(alive[i] for i in free_region if i not in clones + splits)
+
+
+def test_trainer_densify_integration():
+    """finetune with densification on: pool grows/prunes without recompiling
+    per step, history is finite, the returned model is compacted."""
+    from gsplat_tpu.config import DensifyConfig
+
+    rng = np.random.default_rng(8)
+    arrays = random_splat_arrays(rng, 60)
+    target_model = GaussianModel.from_arrays(arrays)
+    cams = [orbit_camera(a, width=48, height=32) for a in (0.0, 0.25)]
+    views = [(cam, render(target_model, cam, CFG)[0]) for cam in cams]
+
+    perturbed = dict(arrays)
+    perturbed["opacity_logits"] = arrays["opacity_logits"] - 1.0
+    model = GaussianModel.from_arrays(perturbed)
+
+    tc = TrainConfig(
+        steps=9, log_every=4, ssim_weight=0.0,
+        densify=DensifyConfig(
+            every=3, start=1, grad_threshold=1e-6, pool_factor=1.5,
+            opacity_reset_every=0,
+        ),
+    )
+    trainer = Trainer(raster=CFG, train=tc, show_progress=False)
+    out, history = trainer.fit(model, views)
+    assert np.isfinite([h["loss"] for h in history]).all()
+    # compacted: no dead slots in the returned model
+    from gsplat_tpu.train import densify as D
+
+    assert out.num_gaussians == int(np.asarray(D.alive_mask(out)).sum())
+    assert out.num_gaussians > 0
+    img, _ = render(out, cams[0], CFG)
+    assert np.isfinite(np.asarray(img)).all()
