@@ -7,7 +7,7 @@ compositing kernels with a full custom VJP), plus the training loop,
 checkpointing, CLI and multi-chip sharding the reference lacks.
 """
 
-from gsplat_tpu.config import MeshConfig, RasterConfig, TrainConfig
+from gsplat_tpu.config import DensifyConfig, MeshConfig, RasterConfig, TrainConfig
 from gsplat_tpu.models.gaussians import GaussianModel, random_model
 from gsplat_tpu.ops.camera import CameraArrays, CameraParams
 from gsplat_tpu.render.pipeline import (
@@ -24,6 +24,7 @@ __version__ = "0.1.0"
 __all__ = [
     "CameraArrays",
     "CameraParams",
+    "DensifyConfig",
     "GaussianModel",
     "MeshConfig",
     "RasterConfig",
