@@ -106,20 +106,25 @@ def _shard_render_tiles(
     height: int,
     cfg: RasterConfig,
     n_local: int,
+    screen_offset=None,
 ):
     """One shard's render, called inside shard_map: preprocess this device's
     gaussian slice, all-gather packed rows, bin + rasterize this device's
-    strided tile subset. Returns (color [T_l, npix, 3], trans [T_l, npix])."""
+    strided tile subset. Returns (color [T_l, npix, 3], trans [T_l, npix]).
+
+    ``screen_offset``: optional replicated [C_pool, 2] viewspace-gradient
+    probe (train/densify.py), sliced alongside the model."""
     tp = lay.sy * lay.sx
     d = jax.lax.axis_index(TILE_AXIS)
     ox = d % lay.sx
     oy = d // lay.sx
 
-    sl = jax.tree.map(
-        lambda x: jax.lax.dynamic_slice_in_dim(x, d * n_local, n_local, axis=0),
-        model_p,
-    )
-    prep = preprocess_traced(sl, cam, width, height, cfg)
+    def slice_rows(x):
+        return jax.lax.dynamic_slice_in_dim(x, d * n_local, n_local, axis=0)
+
+    sl = jax.tree.map(slice_rows, model_p)
+    off_l = None if screen_offset is None else slice_rows(screen_offset)
+    prep = preprocess_traced(sl, cam, width, height, cfg, off_l)
     feat_rows = binning.pack_feature_rows(prep)
     binput = jnp.concatenate(
         [
@@ -198,6 +203,7 @@ def make_parallel_train_step(
     height: int,
     raster_cfg: RasterConfig,
     train_cfg: TrainConfig,
+    with_viewspace_grad: bool = False,
 ):
     """Build a (data x tile)-parallel train step.
 
@@ -209,7 +215,11 @@ def make_parallel_train_step(
         gradients psum'd over the whole mesh.
       * loss is (1-w)*L1 + w*(1-SSIM); under tile sharding the frame is
         all-gathered across the tile axis for the windowed SSIM term (one
-        image of ICI traffic per camera).
+        image of ICI traffic per camera);
+      * with ``with_viewspace_grad`` the step additionally returns the
+        batch-summed viewspace positional gradient [N, 2] (psum'd over the
+        mesh by the shard_map transpose) for densification
+        (train/densify.py accumulate).
     """
     dp = mesh.shape[DATA_AXIS]
     tp = mesh.shape[TILE_AXIS]
@@ -228,9 +238,10 @@ def make_parallel_train_step(
         jnp.asarray(valid_src)[:, None], mask_tiles[jnp.asarray(safe_src)], 0.0
     )  # [tp*T_l, npix]
 
-    def local_loss(model_p, cams_l, targets_l, mask_l, n_local):
+    def local_loss(model_p, off_p, cams_l, targets_l, mask_l, n_local):
         """Loss contribution of one device: its cameras x its tile slab.
 
+        model_p / off_p: replicated padded model + viewspace probe;
         cams_l: CameraArrays leaves [Bl, ...]; targets_l: [Bl, T_l, npix, 3];
         mask_l: [T_l, npix] pixel validity of this shard's tiles.
         Returns (mean loss, mean mse), psum'd over the whole mesh.
@@ -239,7 +250,7 @@ def make_parallel_train_step(
         def one_camera(args):
             cam, target_tiles = args
             color, _ = _shard_render_tiles(
-                model_p, cam, lay, width, height, raster_cfg, n_local
+                model_p, cam, lay, width, height, raster_cfg, n_local, off_p
             )
             npixels = width * height * 3
             mse = jnp.sum(((color - target_tiles) ** 2) * mask_l[:, :, None]) / npixels
@@ -285,10 +296,11 @@ def make_parallel_train_step(
         n_local = -(-model.num_gaussians // tp)
 
         sharded_loss = jax.shard_map(
-            lambda m, c, t, k: local_loss(m, c, t, k, n_local),
+            lambda m, o, c, t, k: local_loss(m, o, c, t, k, n_local),
             mesh=mesh,
             in_specs=(
                 P(),  # padded model (replicated)
+                P(),  # viewspace probe (replicated)
                 P(DATA_AXIS),  # cameras
                 P(DATA_AXIS, TILE_AXIS),  # target tiles (stacked shard order)
                 P(TILE_AXIS),  # pixel-mask slab
@@ -297,14 +309,20 @@ def make_parallel_train_step(
             check_vma=False,  # loop carries start mesh-invariant, become varying
         )
 
-        def loss_fn(m):
-            m_p = _pad_model(m, n_local * tp)
-            return sharded_loss(m_p, cams, targets_tiles, pixel_mask)
+        offset = jnp.zeros((n_local * tp, 2), model.means.dtype)
 
-        (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(model)
+        def loss_fn(m, off):
+            m_p = _pad_model(m, n_local * tp)
+            return sharded_loss(m_p, off, cams, targets_tiles, pixel_mask)
+
+        (loss, mse), (grads, vs_grad) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(model, offset)
         updates, new_opt_state = optimizer.update(grads, opt_state, model)
         model = jax.tree.map(lambda p, u: p + u, model, updates)
         metrics = {"loss": loss, "psnr": -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))}
+        if with_viewspace_grad:
+            return model, new_opt_state, metrics, vs_grad[: model.num_gaussians]
         return model, new_opt_state, metrics
 
     def init_state(model):

@@ -27,6 +27,12 @@ The viewspace gradient signal comes from differentiating the render w.r.t.
 an all-zero pixel-space offset on the projected means
 (ops/projection.py ``screen_offset``) — the exact quantity 3DGS
 accumulates, not a world-space proxy.
+
+The single-host Trainer drives densification end-to-end
+(train/trainer.py). Under the (data x tile) mesh the pool is replicated
+like the model and ``densify_prune_step`` is a pure function of psum'd
+gradients: build the parallel step with ``with_viewspace_grad=True``
+(parallel/shard.py) and feed its [N, 2] output through :func:`accumulate`.
 """
 
 from __future__ import annotations

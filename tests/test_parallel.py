@@ -132,3 +132,28 @@ def test_sharded_pallas_backward_matches_jnp(scene):
     assert l_pal == pytest.approx(l_jnp, rel=1e-4)
     for a, b in zip(jax.tree_util.tree_leaves(m_pal), jax.tree_util.tree_leaves(m_jnp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-6)
+
+
+def test_parallel_viewspace_grad_mesh_invariant(scene):
+    """with_viewspace_grad: the psum'd viewspace gradient must match across
+    tile decompositions (the densification signal is mesh-independent)."""
+    camera = orbit_camera(0.2, width=W, height=H)
+    target = render(scene, camera, CFG)[0]
+    tc = TrainConfig(ssim_weight=0.0)
+
+    def probe(tp):
+        mesh = make_mesh(MeshConfig(data=1, tile=tp))
+        step, init_state, prep = make_parallel_train_step(
+            mesh, W, H, CFG, tc, with_viewspace_grad=True
+        )
+        cams = CameraArrays.stack([CameraArrays.from_params(camera)])
+        tiles = prep(jnp.stack([target]))
+        _, _, _, vs = step(scene, init_state(scene), cams, tiles)
+        return np.asarray(vs)
+
+    v1 = probe(1)
+    v4 = probe(4)
+    assert v1.shape == (scene.num_gaussians, 2)
+    assert np.isfinite(v1).all() and np.abs(v1).max() > 0
+    scale = np.abs(v1).max()
+    np.testing.assert_allclose(v4, v1, rtol=1e-4, atol=1e-6 * scale)
