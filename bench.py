@@ -43,11 +43,12 @@ MAX_PAIRS = 1_460_000 - (1_460_000 % 32)
 BASELINE_FPS = 1.0 / 300.0  # reference: ~5 min per forward-only frame
 
 # (log-scale shift, pair-buffer capacity): each shift grows every splat by
-# e^shift linearly; capacities sized ~1.5-2x the measured pair demand.
+# e^shift linearly; capacities = 1.5x the measured pair demand (0.97M /
+# 1.88M / 3.84M pairs), chunk-aligned like the headline config.
 PAIR_SWEEP = [
-    (0.0, 1 << 21),
-    (0.8, 1 << 22),
-    (1.4, 1 << 23),
+    (0.0, 1_460_000 - (1_460_000 % 32)),
+    (0.8, 2_820_000 - (2_820_000 % 32)),
+    (1.4, 5_760_000 - (5_760_000 % 32)),
 ]
 
 
