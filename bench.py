@@ -143,9 +143,13 @@ def synthetic_bench(args):
     cam = CameraArrays.from_params(camera)
     target = jnp.zeros((HEIGHT, WIDTH, 3), jnp.float32) + 0.25
 
-    # Headline: base scene, production config.
+    # Headline: base scene, EXACT reference semantics (early_stop=0 — the
+    # configuration every parity test runs). At ~1 pair/gaussian the
+    # early-stop while_loop's per-chunk condition costs more than the
+    # compositing it skips, so exact mode is both stricter and faster;
+    # the early-stop variant is reported in extra.
     model = build_scene(NUM_GAUSSIANS)
-    cfg = make_cfg(MAX_PAIRS, 1e-4)
+    cfg = make_cfg(MAX_PAIRS, 0.0)
     elapsed, final_loss = time_fwd_bwd(model, cam, target, cfg)
     fps = 1.0 / elapsed
     num_pairs, demand, overflowed = pair_stats(model, cam, cfg)
@@ -162,9 +166,10 @@ def synthetic_bench(args):
     }
 
     if not args.quick:
-        # Exact reference semantics (no early termination) on the base scene.
-        el_exact, _ = time_fwd_bwd(model, cam, target, make_cfg(MAX_PAIRS, 0.0))
-        extra["exact_mode_fps"] = round(1.0 / el_exact, 3)
+        # The CUDA original's early-termination heuristic (T < 1e-4), for
+        # comparison; it only pays off at heavier pair densities.
+        el_es, _ = time_fwd_bwd(model, cam, target, make_cfg(MAX_PAIRS, 1e-4))
+        extra["early_stop_fps"] = round(1.0 / el_es, 3)
 
         # Pair-density sweep: grow the splats, re-size the pair budget.
         sweep = []
