@@ -239,46 +239,55 @@ def scene_bench(args):
         print(json.dumps({"error": f"no views found under {args.scene}"}))
         sys.exit(1)
 
-    cam0 = views[0][0]
-    w, h = cam0.width, cam0.height
+    from functools import partial
+
+    # Size the pair budget for the worst view (mixed camera resolutions are
+    # possible in multi-camera COLMAP scenes; one compile per distinct size).
     probe = RasterConfig(
         tile_size=32, chunk_size=32, max_pairs=1 << 21,
         use_pallas=jax.default_backend() == "tpu",
     )
-    max_pairs = suggest_max_pairs(model, cam0, probe, headroom=1.5)
+    max_pairs = max(
+        suggest_max_pairs(model, c, probe, headroom=1.5) for c, _ in views
+    )
     cfg = RasterConfig(
         tile_size=32, chunk_size=32, max_pairs=max_pairs,
         early_stop_transmittance=1e-4,
         use_pallas=jax.default_backend() == "tpu",
     )
+    w, h = views[0][0].width, views[0][0].height
 
-    @jax.jit
-    def fwd_bwd(m, cam, target):
+    @partial(jax.jit, static_argnames=("vw", "vh"))
+    def fwd_bwd(m, cam, target, vw, vh):
         def loss_fn(m):
-            image, _ = render_traced(m, cam, w, h, cfg)
+            image, _ = render_traced(m, cam, vw, vh, cfg)
             return rgb_loss(image, target, 0.2)
 
         return jax.value_and_grad(loss_fn)(m)
 
-    @jax.jit
-    def psnr_of(m, cam, target):
-        image, _ = render_traced(m, cam, w, h, cfg)
+    @partial(jax.jit, static_argnames=("vw", "vh"))
+    def psnr_of(m, cam, target, vw, vh):
+        image, _ = render_traced(m, cam, vw, vh, cfg)
         mse = jnp.mean((image - target) ** 2)
         return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
 
     # Warmup on view 0, then time every view back-to-back.
     cams = [CameraArrays.from_params(c, dtype=jnp.float32) for c, _ in views]
-    loss, _ = fwd_bwd(model, cams[0], views[0][1])
+    sizes = [(c.width, c.height) for c, _ in views]
+    loss, _ = fwd_bwd(model, cams[0], views[0][1], *sizes[0])
     float(loss)
     start = time.perf_counter()
-    for cam, (_, gt) in progress(
-        list(zip(cams, views)), desc="bench views", enabled=not args.quick
+    for cam, (_, gt), size in progress(
+        list(zip(cams, views, sizes)), desc="bench views", enabled=not args.quick
     ):
-        loss, _ = fwd_bwd(model, cam, gt)
+        loss, _ = fwd_bwd(model, cam, gt, *size)
     float(loss)
     elapsed = (time.perf_counter() - start) / len(views)
 
-    psnrs = [float(psnr_of(model, cam, gt)) for cam, (_, gt) in zip(cams, views)]
+    psnrs = [
+        float(psnr_of(model, cam, gt, *size))
+        for cam, (_, gt), size in zip(cams, views, sizes)
+    ]
     fps = 1.0 / elapsed
     return {
         "metric": f"{h}p_real_scene_fwd+bwd_frames_per_sec_per_chip",

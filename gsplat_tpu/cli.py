@@ -79,18 +79,26 @@ _COMMON = [
 ]
 
 
-def _check_pairs(model, camera, cfg: RasterConfig, auto_pairs: bool) -> RasterConfig:
-    """Warn on pair-buffer overflow; optionally return a resized config."""
+def _check_pairs(model, cameras, cfg: RasterConfig, auto_pairs: bool) -> RasterConfig:
+    """Warn on pair-buffer overflow for the *worst* of the given camera
+    poses; optionally return a resized config. ``cameras`` is one
+    CameraParams or a sequence (orbit frames / evaluation views — a pose
+    rotating more splats into frustum can overflow even when the base view
+    fits)."""
     import dataclasses as _dc
 
     from gsplat_tpu.ops.camera import CameraArrays
-    from gsplat_tpu.render.pipeline import binning_stats
+    from gsplat_tpu.render.pipeline import binning_stats, required_max_pairs
 
-    cam = CameraArrays.from_params(camera)
-    stats = binning_stats(model, cam, camera.width, camera.height, cfg)
-    demand = int(stats["pair_demand"])
+    if not isinstance(cameras, (list, tuple)):
+        cameras = [cameras]
+    demand = 0
+    for camera in cameras:
+        cam = CameraArrays.from_params(camera)
+        stats = binning_stats(model, cam, camera.width, camera.height, cfg)
+        demand = max(demand, int(stats["pair_demand"]))
     if demand > cfg.max_pairs:
-        target = 1 << max(int(demand * 1.5) - 1, 1).bit_length()
+        target = required_max_pairs(demand)
         if auto_pairs:
             logger.warning(
                 "pair buffer overflow (demand %d > capacity %d): using "
@@ -190,9 +198,8 @@ def orbit(
 
     cfg = _raster_config(tile_size, chunk_size, max_pairs, early_stop, backend)
     model, camera, _, _ = _load_scene(input_dir, trained_model_path, scene_index, scale_factor)
-    cfg = _check_pairs(model, camera, cfg, auto_pairs)
 
-    cams = []
+    poses = []
     for i in range(num_frames):
         angle = math.radians(orbit_degrees) * i / num_frames
         half = angle / 2.0
@@ -206,16 +213,18 @@ def orbit(
             q[0] * y - q[1] * z + q[2] * w + q[3] * x,
             q[0] * z + q[1] * y - q[2] * x + q[3] * w,
         )
-        cams.append(
-            CameraArrays.from_params(
-                CameraParams(
-                    width=camera.width, height=camera.height,
-                    fov_x=camera.fov_x, fov_y=camera.fov_y,
-                    focal_x=camera.focal_x, focal_y=camera.focal_y,
-                    qvec=composed, tvec=camera.tvec,
-                )
+        poses.append(
+            CameraParams(
+                width=camera.width, height=camera.height,
+                fov_x=camera.fov_x, fov_y=camera.fov_y,
+                focal_x=camera.focal_x, focal_y=camera.focal_y,
+                qvec=composed, tvec=camera.tvec,
             )
         )
+    # An orbit pose can rotate more splats into frustum than the base view:
+    # budget-check the whole trajectory (one binning compile, data-traced).
+    cfg = _check_pairs(model, poses, cfg, auto_pairs)
+    cams = [CameraArrays.from_params(p) for p in poses]
     # Render in small batches so progress is visible on long orbits (each
     # batch is one device program; lax.map serializes frames inside it).
     from gsplat_tpu.utils.progress import progress
@@ -255,25 +264,30 @@ def evaluate(
     from gsplat_tpu.utils.progress import progress
 
     cfg = _raster_config(tile_size, chunk_size, max_pairs, early_stop, backend)
-    model, camera0, _, _ = _load_scene(input_dir, trained_model_path, scene_index, scale_factor)
-    cfg = _check_pairs(model, camera0, cfg, auto_pairs)
+    model, _, _, _ = _load_scene(input_dir, trained_model_path, scene_index, scale_factor)
     scenes, cam_info = read_scene(input_dir)
 
-    rows = []
-    for sid, scene in progress(sorted(scenes.items()), desc="evaluate views"):
+    views = []
+    for sid, scene in sorted(scenes.items()):
         path = os.path.join(input_dir, f"images_{scale_factor}", scene.name)
         if not os.path.exists(path):
             continue
         img = Image.open(path).convert("RGB")
         gt = jnp.asarray(np.asarray(img, dtype=np.float32) / 255.0)
         cam = CameraParams.from_colmap(scene, cam_info[1], img.size[0], img.size[1])
+        views.append((scene.name, cam, gt))
+    # Budget-check every view (any pose can have the peak pair demand).
+    cfg = _check_pairs(model, [cam for _, cam, _ in views], cfg, auto_pairs)
+
+    rows = []
+    for name, cam, gt in progress(views, desc="evaluate views"):
         # render_traced keeps the camera pose as data: one compile serves
         # every view (poses differ; width/height are shared per dataset).
         pred, _ = render_traced(
-            model, CameraArrays.from_params(cam), img.size[0], img.size[1], cfg
+            model, CameraArrays.from_params(cam), cam.width, cam.height, cfg
         )
         row = {
-            "view": scene.name,
+            "view": name,
             "psnr": float(psnr(pred, gt)),
             "ssim": float(ssim(pred, gt)),
         }

@@ -116,12 +116,14 @@ class CameraParams:
         The reference hardcodes camera id 1 and takes fx, fy from
         ``params[0:2]`` (rasterize.py:336-343) — correct only for PINHOLE.
         Single-focal models (SIMPLE_PINHOLE / SIMPLE_RADIAL / RADIAL /
-        FOV / *_FISHEYE) store (f, cx, cy, ...), so fx = fy = params[0];
-        distortion coefficients are ignored (the splatting pipeline, like
-        the reference, assumes an undistorted pinhole projection).
+        SIMPLE_RADIAL_FISHEYE / RADIAL_FISHEYE) store (f, cx, cy, ...), so
+        fx = fy = params[0]; two-focal models (PINHOLE, OPENCV*, FOV, ...)
+        store (fx, fy, cx, cy, ...). Distortion coefficients are ignored
+        (the splatting pipeline, like the reference, assumes an undistorted
+        pinhole projection).
         """
         single_focal = getattr(camera, "model", "PINHOLE") in {
-            "SIMPLE_PINHOLE", "SIMPLE_RADIAL", "RADIAL", "FOV",
+            "SIMPLE_PINHOLE", "SIMPLE_RADIAL", "RADIAL",
             "SIMPLE_RADIAL_FISHEYE", "RADIAL_FISHEYE",
         }
         fx = float(camera.params[0])

@@ -165,20 +165,29 @@ def binning_stats(
     }
 
 
+def required_max_pairs(demand: int, headroom: float = 1.5, floor: int = 32) -> int:
+    """The pair capacity covering ``demand * headroom``, rounded up to a
+    power of two (a fresh capacity changes the jit cache key, so callers
+    size once per scene). The single sizing policy shared by
+    :func:`suggest_max_pairs`, the trainer's auto-resize and the CLI's
+    ``--auto-pairs``."""
+    target = int(max(demand, 1) * headroom)
+    return 1 << max(target - 1, floor).bit_length()
+
+
 def suggest_max_pairs(
     model: GaussianModel,
     camera: CameraParams,
     cfg: RasterConfig = RasterConfig(),
     headroom: float = 2.0,
 ) -> int:
-    """Size ``max_pairs`` for a scene+view: measured surviving pairs times
-    ``headroom``, rounded up to a power of two (a fresh capacity changes the
-    jit cache key, so callers typically size once per scene)."""
+    """Size ``max_pairs`` for a scene+view: measured pair demand times
+    ``headroom``, power-of-two rounded (see :func:`required_max_pairs`)."""
     cam = CameraArrays.from_params(camera, dtype=model.means.dtype)
     stats = binning_stats(model, cam, camera.width, camera.height, cfg)
-    need = max(int(stats["pair_demand"]), 1)
-    target = int(need * headroom)
-    return 1 << max(target - 1, cfg.chunk_size).bit_length()
+    return required_max_pairs(
+        int(stats["pair_demand"]), headroom, floor=cfg.chunk_size
+    )
 
 
 @partial(jax.jit, static_argnames=("camera", "cfg"))

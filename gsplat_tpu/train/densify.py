@@ -94,11 +94,22 @@ def init_pool(model: GaussianModel, cfg: DensifyConfig) -> GaussianModel:
     return pad_model(model, pool_capacity(model.num_gaussians, cfg))
 
 
-def accumulate(state: DensifyState, screen_grad: jnp.ndarray) -> DensifyState:
+def accumulate(
+    state: DensifyState, screen_grad: jnp.ndarray, width: int, height: int
+) -> DensifyState:
     """Fold one step's viewspace gradient ([C, 2], from the zero-offset
     probe) into the accumulator. Only gaussians that received any gradient
-    count toward the mean (3DGS counts visibility the same way)."""
-    norm = jnp.sqrt(jnp.sum(screen_grad * screen_grad, axis=-1))
+    count toward the mean (3DGS counts visibility the same way).
+
+    The probe differentiates w.r.t. *pixel-space* offsets, whose gradients
+    are W/2 (H/2) times smaller than the NDC-scale gradients 3DGS's
+    ``grad_threshold`` convention (default 2e-4) applies to (pix =
+    (ndc+1)*W/2, so dL/d_ndc = dL/d_pix * W/2 — the 0.5*W factor in the
+    CUDA backward). Rescale per axis so the standard threshold works.
+    """
+    gx = screen_grad[:, 0] * (0.5 * width)
+    gy = screen_grad[:, 1] * (0.5 * height)
+    norm = jnp.sqrt(gx * gx + gy * gy)
     seen = norm > 0.0
     return DensifyState(
         grad_sum=state.grad_sum + norm,

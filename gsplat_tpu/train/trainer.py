@@ -133,13 +133,13 @@ class Trainer:
         """Warn on pair-buffer overflow for this (model, view); returns the
         (possibly resized, power-of-two) raster config. Also updates
         ``self.raster`` so subsequent steps use the new budget."""
-        from gsplat_tpu.render.pipeline import binning_stats
+        from gsplat_tpu.render.pipeline import binning_stats, required_max_pairs
 
         cam = CameraArrays.from_params(camera, dtype=model.means.dtype)
         stats = binning_stats(model, cam, camera.width, camera.height, self.raster)
         demand = int(stats["pair_demand"])
         if demand > self.raster.max_pairs:
-            target = 1 << max(int(demand * 1.5) - 1, 1).bit_length()
+            target = required_max_pairs(demand)
             if self.auto_pairs:
                 logger.warning(
                     "pair buffer overflow (demand %d > capacity %d): resizing "
@@ -196,7 +196,7 @@ class Trainer:
                     model, opt_state, cam, target, camera.width, camera.height,
                     self.raster,
                 )
-                dstate = D.accumulate(dstate, vs_grad)
+                dstate = D.accumulate(dstate, vs_grad, camera.width, camera.height)
                 in_window = dc.start <= step < dc.until
                 if in_window and step > 0 and step % dc.every == 0:
                     key, sub = jax.random.split(key)

@@ -158,7 +158,12 @@ def progressive_frames(
     if stride is None:
         stride = SNAPSHOT_STRIDE if num_frames is None else max(1, n // num_frames)
     prep = preprocess(model, camera, cfg)
-    depth_rank = np.argsort(np.argsort(np.asarray(prep.depth)))  # rank per gaussian
+    # Stable ranks: the renderer breaks depth ties by gaussian id (stable
+    # sort in ops/binning.py), so slab partitioning must too — otherwise
+    # tied-depth gaussians could composite across slabs in the wrong order.
+    order = np.argsort(np.asarray(prep.depth), kind="stable")
+    depth_rank = np.empty_like(order)
+    depth_rank[order] = np.arange(order.size)
     logits = np.asarray(model.opacity_logits)
 
     frames = []

@@ -179,3 +179,10 @@ def test_from_colmap_single_focal_models():
     )
     cam2 = CameraParams.from_colmap(image, pinhole, 640, 480)
     assert (cam2.focal_x, cam2.focal_y) == (500.0, 510.0)
+    # FOV stores (fx, fy, cx, cy, omega): two-focal despite the 5th param
+    fov = colmap.Camera(
+        id=1, model="FOV", width=640, height=480,
+        params=np.array([500.0, 510.0, 320.0, 240.0, 0.9]),
+    )
+    cam3 = CameraParams.from_colmap(image, fov, 640, 480)
+    assert (cam3.focal_x, cam3.focal_y) == (500.0, 510.0)
