@@ -318,11 +318,14 @@ def evaluate(
                    "fixed-capacity pool; see DensifyConfig)")
 @click.option("--densify-every", type=int, default=100)
 @click.option("--densify-grad-threshold", type=float, default=2e-4)
+@click.option("--sh-warmup-every", type=int, default=0,
+              help="bump the trained SH degree every N steps (3DGS warmup; "
+                   "0 = full degree from the start)")
 def finetune(
     input_dir, trained_model_path, scene_index, scale_factor,
     tile_size, chunk_size, max_pairs, early_stop, backend, auto_pairs,
     output_path, steps, ssim_weight, save_iteration,
-    densify, densify_every, densify_grad_threshold,
+    densify, densify_every, densify_grad_threshold, sh_warmup_every,
 ):
     """Fine-tune the splat model against the scene's ground-truth views
     (BASELINE.json config 4: the full-VJP workload)."""
@@ -360,7 +363,10 @@ def finetune(
     )
     trainer = Trainer(
         raster=cfg,
-        train=TrainConfig(steps=steps, ssim_weight=ssim_weight, densify=dcfg),
+        train=TrainConfig(
+            steps=steps, ssim_weight=ssim_weight, densify=dcfg,
+            sh_warmup_every=sh_warmup_every,
+        ),
         auto_pairs=auto_pairs,
     )
     model, history = trainer.fit(

@@ -113,6 +113,9 @@ class TrainConfig:
     log_every: int = 50
     checkpoint_every: int = 500
     densify: Optional[DensifyConfig] = None
+    # 3DGS SH warmup: train with SH degree min(step // this, raster degree),
+    # one recompile per bump (0 = full degree from step 0).
+    sh_warmup_every: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -186,15 +186,23 @@ class Trainer:
             range(steps), desc="finetune", enabled=self.show_progress
         ):
             camera, target = views[step % len(views)]
+            # 3DGS SH warmup: view-dependent color detail is introduced
+            # band by band (one recompile per degree bump).
+            step_cfg = self.raster
+            if self.train.sh_warmup_every > 0:
+                deg = min(step // self.train.sh_warmup_every, self.raster.sh_degree)
+                if deg != self.raster.sh_degree:
+                    step_cfg = dataclasses.replace(self.raster, sh_degree=deg)
+            cam = CameraArrays.from_params(camera, dtype=model.means.dtype)
             if dc is None:
-                model, opt_state, metrics = self.train_step(
-                    model, opt_state, camera, target
+                model, opt_state, metrics = self._step(
+                    model, opt_state, cam, target, camera.width, camera.height,
+                    step_cfg,
                 )
             else:
-                cam = CameraArrays.from_params(camera, dtype=model.means.dtype)
                 model, opt_state, metrics, vs_grad = self._step_vs(
                     model, opt_state, cam, target, camera.width, camera.height,
-                    self.raster,
+                    step_cfg,
                 )
                 dstate = D.accumulate(dstate, vs_grad, camera.width, camera.height)
                 in_window = dc.start <= step < dc.until

@@ -268,3 +268,34 @@ def test_trainer_densify_integration():
     assert out.num_gaussians > 0
     img, _ = render(out, cams[0], CFG)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_sh_warmup_schedule():
+    """SH warmup trains low-degree first: early steps must be insensitive to
+    high-band SH coefficients, late steps sensitive."""
+    rng = np.random.default_rng(12)
+    arrays = random_splat_arrays(rng, 80)
+    cam = orbit_camera(0.1, width=32, height=32)
+    target = render(GaussianModel.from_arrays(arrays), cam, CFG)[0]
+
+    base = GaussianModel.from_arrays(arrays)
+    pert = dict(arrays)
+    pert["sh"] = arrays["sh"].copy()
+    pert["sh"][:, 1:, :] += 0.5  # change only bands 1-3
+    shifted = GaussianModel.from_arrays(pert)
+
+    tc = TrainConfig(steps=4, ssim_weight=0.0, sh_warmup_every=2, log_every=1)
+    trainer = Trainer(raster=CFG, train=tc, show_progress=False)
+
+    # Step 0-1 run at degree 0: the loss must be identical for models that
+    # differ only in bands 1+.
+    _, hist_a = trainer.fit(base, [(cam, target)], steps=1)
+    _, hist_b = trainer.fit(shifted, [(cam, target)], steps=1)
+    assert hist_a[0]["loss"] == pytest.approx(hist_b[0]["loss"], rel=1e-6)
+
+    # At full degree the same band shift must change the loss.
+    tc_full = TrainConfig(steps=1, ssim_weight=0.0, log_every=1)
+    tr_full = Trainer(raster=CFG, train=tc_full, show_progress=False)
+    _, full_a = tr_full.fit(base, [(cam, target)], steps=1)
+    _, full_b = tr_full.fit(shifted, [(cam, target)], steps=1)
+    assert abs(full_a[0]["loss"] - full_b[0]["loss"]) > 1e-5
