@@ -336,3 +336,91 @@ def make_parallel_train_step(
         return jnp.where(jnp.asarray(valid_src)[None, :, None, None], picked, 0.0)
 
     return train_step, init_state, prepare_targets
+
+
+@dataclasses.dataclass
+class ParallelTrainer:
+    """Multi-chip counterpart of ``train.trainer.Trainer``: the same
+    ``fit(model, views)`` surface, executed as (data x tile)-sharded steps.
+
+    Views are round-robin batched ``data``-axis-wide per step (every data
+    row trains a different camera of the batch); all frames must share one
+    resolution (they fix array shapes). Densification runs on the
+    replicated pool between sharded steps, fed by the psum'd viewspace
+    probe (train/densify.py).
+    """
+
+    mesh: Mesh
+    raster: RasterConfig
+    train: TrainConfig
+    show_progress: bool = True
+
+    def fit(self, model, views, steps=None, log_fn=None):
+        import jax as _jax
+
+        from gsplat_tpu.utils.logging import get_logger
+        from gsplat_tpu.utils.progress import progress
+
+        logger = get_logger()
+        steps = steps if steps is not None else self.train.steps
+        dp = self.mesh.shape[DATA_AXIS]
+        width = views[0][0].width
+        height = views[0][0].height
+        if any(c.width != width or c.height != height for c, _ in views):
+            raise ValueError("all views must share one resolution")
+
+        dc = self.train.densify
+        if dc is not None:
+            from gsplat_tpu.train import densify as D
+
+            extent = D.camera_extent([c for c, _ in views])
+            model = D.init_pool(model, dc)
+            dstate = D.DensifyState.zero(model.num_gaussians)
+            key = _jax.random.key(0)
+
+        step_fn, init_state, prepare_targets = make_parallel_train_step(
+            self.mesh, width, height, self.raster, self.train,
+            with_viewspace_grad=dc is not None,
+        )
+        cams_all = [CameraArrays.from_params(c) for c, _ in views]
+        targets_all = [prepare_targets(jnp.stack([t])) for _, t in views]
+        opt_state = init_state(model)
+        history = []
+        for step in progress(range(steps), desc="fit", enabled=self.show_progress):
+            idx = [(step * dp + i) % len(views) for i in range(dp)]
+            cams = CameraArrays.stack([cams_all[i] for i in idx])
+            targets = jnp.concatenate([targets_all[i] for i in idx], axis=0)
+            if dc is None:
+                model, opt_state, metrics = step_fn(model, opt_state, cams, targets)
+            else:
+                model, opt_state, metrics, vs = step_fn(
+                    model, opt_state, cams, targets
+                )
+                dstate = D.accumulate(dstate, vs, width, height)
+                if dc.start <= step < dc.until and step > 0 and step % dc.every == 0:
+                    key, sub = _jax.random.split(key)
+                    model, touched, dstats = D.densify_prune_step(
+                        model, dstate, sub, extent, dc
+                    )
+                    opt_state = D.reset_opt_rows(opt_state, touched)
+                    dstate = D.DensifyState.zero(model.num_gaussians)
+                    logger.info(
+                        "densify @%d: +%d clone +%d split -%d prune (%d alive)",
+                        step, int(dstats["cloned"]), int(dstats["split"]),
+                        int(dstats["pruned"]), int(dstats["alive"]),
+                    )
+                if dc.opacity_reset_every and step > 0 and (
+                    step % dc.opacity_reset_every == 0
+                ):
+                    model = D.reset_opacity(model)
+            if step % self.train.log_every == 0 or step == steps - 1:
+                record = {k: float(v) for k, v in metrics.items()}
+                record["step"] = step
+                history.append(record)
+                if log_fn is not None:
+                    log_fn(record)
+        if dc is not None:
+            from gsplat_tpu.train import densify as D
+
+            model = D.compact(model)
+        return model, history

@@ -157,3 +157,50 @@ def test_parallel_viewspace_grad_mesh_invariant(scene):
     assert np.isfinite(v1).all() and np.abs(v1).max() > 0
     scale = np.abs(v1).max()
     np.testing.assert_allclose(v4, v1, rtol=1e-4, atol=1e-6 * scale)
+
+
+@pytest.mark.slow
+def test_parallel_trainer_fit(scene):
+    """ParallelTrainer.fit mirrors Trainer.fit on a (data x tile) mesh:
+    loss decreases over round-robin view batches; densification runs on
+    the replicated pool between sharded steps."""
+    from gsplat_tpu.config import DensifyConfig
+    from gsplat_tpu.parallel.shard import ParallelTrainer
+
+    cameras = [orbit_camera(a, width=W, height=H) for a in (0.0, 0.2, 0.4)]
+    views = [(c, render(scene, c, CFG)[0]) for c in cameras]
+
+    rng = np.random.default_rng(1)
+    arrays = scene.to_arrays()
+    arrays["opacity_logits"] = arrays["opacity_logits"] - 0.6
+    model = GaussianModel.from_arrays(arrays)
+
+    # Plain sharded fit: loss decreases over round-robin view batches.
+    trainer = ParallelTrainer(
+        mesh=make_mesh(MeshConfig(data=2, tile=2)),
+        raster=CFG,
+        train=TrainConfig(steps=6, log_every=2, ssim_weight=0.0),
+        show_progress=False,
+    )
+    out, history = trainer.fit(model, views)
+    assert np.isfinite([h["loss"] for h in history]).all()
+    assert history[-1]["loss"] < history[0]["loss"]
+
+    # With densification: the pool churns between sharded steps (loss may
+    # transiently rise); pin mechanics — finite losses, compacted output.
+    trainer_d = ParallelTrainer(
+        mesh=make_mesh(MeshConfig(data=2, tile=2)),
+        raster=CFG,
+        train=TrainConfig(
+            steps=5, log_every=2, ssim_weight=0.0,
+            densify=DensifyConfig(every=3, start=1, grad_threshold=1e-7,
+                                  pool_factor=1.5),
+        ),
+        show_progress=False,
+    )
+    out_d, hist_d = trainer_d.fit(model, views)
+    assert np.isfinite([h["loss"] for h in hist_d]).all()
+    from gsplat_tpu.train import densify as D
+
+    assert out_d.num_gaussians == int(np.asarray(D.alive_mask(out_d)).sum())
+    assert out_d.num_gaussians > 0
