@@ -124,3 +124,32 @@ def test_progressive_frames_converge_to_full_render(scene_dir):
     # opacity is accumulated front-to-back: per-pixel brightness sum never decreases
     sums = [f.sum() for f in frames]
     assert all(b >= a - 1e-3 for a, b in zip(sums, sums[1:])), sums
+
+
+def test_cli_orbit_auto_pairs_resizes(scene_dir, tmp_path):
+    """--auto-pairs budget-checks the whole orbit trajectory: with a tiny
+    max_pairs the run warns + resizes rather than silently dropping splats
+    on rotated poses."""
+    import logging
+
+    out = str(tmp_path / "orbit_ap")
+    args = _common(scene_dir, out)
+    args[args.index("--max-pairs") + 1] = "32"  # far below the demand
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    logger = logging.getLogger("gsplat_tpu")
+    h = Capture()
+    logger.addHandler(h)
+    try:
+        result = CliRunner().invoke(
+            cli, ["orbit", *args, "--num-frames", "3", "--auto-pairs"]
+        )
+    finally:
+        logger.removeHandler(h)
+    assert result.exit_code == 0, result.output + repr(result.exception)
+    assert any("overflow" in r and "using max_pairs" in r for r in records), records
+    assert os.path.exists(os.path.join(out, VIDEO_NAME))
