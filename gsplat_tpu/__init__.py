@@ -14,6 +14,7 @@ from gsplat_tpu.render.pipeline import (
     binning_stats,
     render,
     render_batch,
+    render_depth,
     render_reference_oracle,
     render_traced,
     suggest_max_pairs,
@@ -33,6 +34,7 @@ __all__ = [
     "random_model",
     "render",
     "render_batch",
+    "render_depth",
     "render_reference_oracle",
     "render_traced",
     "suggest_max_pairs",

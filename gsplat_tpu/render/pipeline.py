@@ -14,6 +14,7 @@ assembly. Two camera forms:
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Tuple
 
@@ -188,6 +189,51 @@ def suggest_max_pairs(
     return required_max_pairs(
         int(stats["pair_demand"]), headroom, floor=cfg.chunk_size
     )
+
+
+@partial(jax.jit, static_argnames=("width", "height", "cfg", "near", "far"))
+def render_depth(
+    model: GaussianModel,
+    cam: CameraArrays,
+    width: int,
+    height: int,
+    cfg: RasterConfig = RasterConfig(),
+    near: float = 0.2,
+    far: float = 100.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Expected-depth map: alpha-composite each gaussian's camera-space z
+    through the standard pipeline (depth rides the color channel, so this
+    needs no kernel changes and is differentiable like :func:`render`).
+
+    Returns (depth [H, W], transmittance [H, W]): ``depth`` is the
+    T-weighted expected camera depth in [near, far] units; pixels the
+    splats never cover carry depth 0 and transmittance 1 — divide by
+    ``(1 - trans)`` for an occupancy-normalized map.
+    """
+    z = (
+        model.means[:, 0] * cam.w2c_t[0, 2]
+        + model.means[:, 1] * cam.w2c_t[1, 2]
+        + model.means[:, 2] * cam.w2c_t[2, 2]
+        + cam.w2c_t[3, 2]
+    )
+    depth_norm = jnp.clip((z - near) / (far - near), 0.0, 1.0)
+    # Encode depth as the degree-0 SH channel: sh_to_rgb computes
+    # C0*sh0 + 0.5 then clamps to [0,1], so sh0 = (d - 0.5)/C0 round-trips
+    # exactly for d in [0,1] (ops/sh.py).
+    from gsplat_tpu.ops.sh import SH_C0
+
+    sh = jnp.zeros_like(model.sh)
+    sh = sh.at[:, 0, :].set(((depth_norm - 0.5) / SH_C0)[:, None])
+    depth_model = GaussianModel(
+        means=model.means,
+        log_scales=model.log_scales,
+        quats=model.quats,
+        opacity_logits=model.opacity_logits,
+        sh=sh,
+    )
+    dcfg = dataclasses.replace(cfg, sh_degree=0)
+    img, trans = render_traced(depth_model, cam, width, height, dcfg)
+    return img[:, :, 0] * (far - near) + near * (1.0 - trans), trans
 
 
 @partial(jax.jit, static_argnames=("camera", "cfg"))

@@ -186,3 +186,48 @@ def test_strided_tile_ranges_brute_force():
                     else:
                         assert got_x == want_x, (i, sx, ox, got_x, want_x)
                         assert got_y == want_y, (i, sy, oy, got_y, want_y)
+
+
+def test_binning_fuzz_random_scenes():
+    """Fuzz the binner against the brute-force model across random scenes:
+    tie-heavy depths, interleaved culls, alignment, and a strided-shard
+    split whose union must reproduce the whole frame's pair lists."""
+    for seed in range(5):
+        rng = np.random.default_rng(100 + seed)
+        n = int(rng.integers(20, 120))
+        means = rng.uniform(-8, 72, (n, 2))
+        radii = rng.uniform(0, 16, n)
+        depths = np.round(rng.uniform(1, 5, n), 1)  # many exact ties
+        active = rng.uniform(size=n) < 0.8
+        prep = make_prep(means, radii, depths, active)
+        align = int(rng.choice([1, 4, 8]))
+        check_binning(prep, align=align)
+
+        # Strided shards: every (sx, sy, ox, oy) subset binned independently
+        # must equal the whole-frame lists restricted to its tiles.
+        w = h = 64
+        ts = 16
+        ntx = nty = 4
+        want = expected_pairs(prep, w, h, ts)
+        sx, sy = 2, 2
+        for ox in range(sx):
+            for oy in range(sy):
+                rects = binning.strided_tile_ranges(
+                    prep.cull_bbox, ts, ntx, nty, sx, sy, ox, oy
+                )
+                bins = binning.bin_rects(
+                    prep.depth, prep.active, rects,
+                    -(-ntx // sx), -(-nty // sy), 1 << 10, align=align,
+                )
+                pg = np.asarray(bins.pair_gaussian)
+                starts = np.asarray(bins.tile_start)
+                counts = np.asarray(bins.tile_count)
+                ntx_l = -(-ntx // sx)
+                for l in range(ntx_l * (-(-nty // sy))):
+                    tx = ox + (l % ntx_l) * sx
+                    ty = oy + (l // ntx_l) * sy
+                    if tx >= ntx or ty >= nty:
+                        assert counts[l] == 0
+                        continue
+                    got = pg[starts[l] : starts[l] + counts[l]].tolist()
+                    assert got == want[ty * ntx + tx], (seed, ox, oy, l)

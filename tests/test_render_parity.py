@@ -103,3 +103,42 @@ def test_culled_scene_renders_black():
     img, trans = render(model, camera, RasterConfig(tile_size=16, chunk_size=8, max_pairs=4096, use_pallas=False))
     assert float(np.abs(np.asarray(img)).max()) == 0.0
     assert float(np.asarray(trans).min()) == 1.0
+
+
+def test_render_depth_expected_values():
+    """Expected-depth map: an opaque splat at known camera depth must read
+    back that depth at its center; empty pixels carry depth near*(1-T)=~0
+    coverage with transmittance ~1."""
+    import jax.numpy as jnp
+
+    from gsplat_tpu import render_depth
+    from gsplat_tpu.ops.camera import CameraArrays
+    from fixtures import make_camera
+
+    n = 1
+    arrays = {
+        "means": np.zeros((n, 3), np.float32),  # camera at +4z -> depth 4
+        "log_scales": np.array([[-1.5, -1.2, -1.4]], np.float32),
+        # slightly rotated: a perfectly axis-aligned splat has conic_xy == 0
+        # and the reference's strict-parity any-zero quirk would skip it
+        "quats": np.tile(np.array([0.9, 0.1, 0.2, 0.3], np.float32), (n, 1)),
+        "opacity_logits": np.full((n,), 8.0, np.float32),  # ~opaque
+        "sh": np.zeros((n, 16, 3), np.float32),
+    }
+    camera = make_camera(48, 48)
+    model = GaussianModel.from_arrays(arrays)
+    cam = CameraArrays.from_params(camera)
+    cfg = RasterConfig(tile_size=16, chunk_size=8, max_pairs=1 << 10, use_pallas=False)
+    depth, trans = render_depth(model, cam, 48, 48, cfg, near=0.2, far=100.0)
+    center = float(depth[24, 24])
+    t_center = float(trans[24, 24])
+    # alpha is clamped at 0.99, so a tiny residual transmittance remains;
+    # the covered part composites depth 4.0
+    assert abs(center - 4.0 * (1 - t_center) - 0.2 * t_center) < 0.05, center
+    corner_t = float(trans[0, 0])
+    assert corner_t > 0.98
+    # gradients flow through the depth map too
+    import jax
+
+    g = jax.grad(lambda m: jnp.sum(render_depth(m, cam, 48, 48, cfg)[0]))(model)
+    assert np.isfinite(np.asarray(g.means)).all()
