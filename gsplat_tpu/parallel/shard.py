@@ -353,11 +353,13 @@ class ParallelTrainer:
     mesh: Mesh
     raster: RasterConfig
     train: TrainConfig
+    auto_pairs: bool = True
     show_progress: bool = True
 
     def fit(self, model, views, steps=None, log_fn=None):
         import jax as _jax
 
+        from gsplat_tpu.render.pipeline import binning_stats, required_max_pairs
         from gsplat_tpu.utils.logging import get_logger
         from gsplat_tpu.utils.progress import progress
 
@@ -368,6 +370,31 @@ class ParallelTrainer:
         height = views[0][0].height
         if any(c.width != width or c.height != height for c, _ in views):
             raise ValueError("all views must share one resolution")
+
+        # Budget check over every view; cfg.max_pairs is the PER-SHARD
+        # capacity, so the whole-frame demand divides by the tile factor
+        # (imbalance headroom comes from required_max_pairs' 1.5x).
+        tp = self.mesh.shape[TILE_AXIS]
+        demand = 0
+        for c, _ in views:
+            stats = binning_stats(
+                model, CameraArrays.from_params(c), width, height, self.raster
+            )
+            demand = max(demand, -(-int(stats["pair_demand"]) // tp))
+        if demand > self.raster.max_pairs:
+            target = required_max_pairs(demand)
+            if self.auto_pairs:
+                logger.warning(
+                    "per-shard pair demand %d exceeds capacity %d: using "
+                    "max_pairs=%d", demand, self.raster.max_pairs, target,
+                )
+                self.raster = dataclasses.replace(self.raster, max_pairs=target)
+            else:
+                logger.warning(
+                    "per-shard pair demand %d exceeds capacity %d: deepest "
+                    "splats will be dropped (suggested max_pairs=%d)",
+                    demand, self.raster.max_pairs, target,
+                )
 
         dc = self.train.densify
         if dc is not None:
