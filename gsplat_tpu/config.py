@@ -33,6 +33,12 @@ class RasterConfig:
       tile_size: pixel tile edge. 32x32 = 1024 pixels = one (8,128) f32 VPU
         tile; the TPU-native analogue of the reference's 16x16 CUDA block.
       chunk_size: gaussians composited per inner step of the tile loop.
+      pair_block: pairs per dense DMA block of the Pallas kernels' feature /
+        gradient slabs ([nblk, 16, pair_block] column-major — 64 B/pair vs
+        the 512 B/pair a lane-padded row slab costs). Binning segments are
+        aligned to this (``align=pair_block``). 128 matches the TPU lane
+        width; must be a multiple of chunk_size. Tests with the jnp path may
+        shrink it alongside chunk_size.
       max_pairs: static capacity of the (tile, gaussian) pair buffer. The
         renderer reports overflow; callers may re-render with a bigger value.
       sh_degree: spherical-harmonics degree for view-dependent color (0-3).
@@ -46,6 +52,7 @@ class RasterConfig:
 
     tile_size: int = 32
     chunk_size: int = 32
+    pair_block: int = 128
     max_pairs: int = 1 << 20
     sh_degree: int = 3
     early_stop_transmittance: float = 0.0
@@ -55,6 +62,11 @@ class RasterConfig:
     # segment_sum; False: sort + cumsum-difference reduction (~5x faster,
     # reorders f32 additions — ~1e-5 relative noise on the gradient scale).
     exact_grad_reduction: bool = False
+    # True: the forward's gathered pair-feature blocks are kept as a
+    # residual and reused by the backward (saves the multi-M-row gather).
+    # False: the backward regathers them — lower peak HBM residency across
+    # the loss computation, for memory-tight giant scenes.
+    share_pair_feat: bool = True
     # Testing only: run the Pallas kernels in interpreter mode on non-TPU
     # backends (exercises the exact kernel code paths, e.g. the sharded
     # backward, on the CPU test mesh).

@@ -34,31 +34,35 @@ def _use_pallas(cfg: RasterConfig) -> bool:
 
 
 def _forward_impl(feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles_x, cfg):
-    """Returns (color, trans, chunks_done, pair_feat). ``chunks_done`` [T]
-    int32 is how many chunks each tile composited before early termination
-    (== all chunks for the jnp path / when early stop is off); ``pair_feat``
-    is the gathered per-pair feature slab (None on the jnp path), saved as a
-    residual so the backward does not repeat the 2M-row gather."""
+    """Returns (color, trans, blocks_done, pair_feat). ``blocks_done`` [T]
+    int32 is how many feature blocks each tile composited before early
+    termination (== all blocks for the jnp path / when early stop is off);
+    ``pair_feat`` is the gathered dense per-pair feature block array (None on
+    the jnp path), saved as a residual so the backward does not repeat the
+    multi-M-row gather (disable with ``cfg.share_pair_feat=False`` to trade
+    the gather back for peak-HBM headroom)."""
     if _use_pallas(cfg):
         from gsplat_tpu.kernels.raster_fwd import build_pair_feat, forward_tiles_pallas
 
-        pair_feat = build_pair_feat(feat, pair_gaussian, cfg.chunk_size)
-        color, trans, chunks_done = forward_tiles_pallas(
+        pair_feat = build_pair_feat(feat, pair_gaussian, cfg.pair_block)
+        color, trans, blocks_done = forward_tiles_pallas(
             feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles_x,
             cfg, interpret=cfg.force_pallas_interpret, pair_feat=pair_feat,
         )
-        return color, trans, chunks_done, pair_feat
+        if not cfg.share_pair_feat:
+            pair_feat = None
+        return color, trans, blocks_done, pair_feat
     from gsplat_tpu.render.tile_jnp import forward_tiles_jnp
 
     color, trans = forward_tiles_jnp(
         feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles_x, cfg
     )
-    return color, trans, -(-tile_count // cfg.chunk_size), None
+    return color, trans, -(-tile_count // cfg.pair_block), None
 
 
 def _backward_impl(
     feat, pair_gaussian, tile_start, tile_count, tile_ids,
-    color_tiles, trans_tiles, g_color, g_trans, chunks_done, gaussian_counts,
+    color_tiles, trans_tiles, g_color, g_trans, blocks_done, gaussian_counts,
     n_tiles_x, cfg, pair_feat=None,
 ):
     if _use_pallas(cfg):
@@ -67,7 +71,7 @@ def _backward_impl(
         return backward_tiles_pallas(
             feat, pair_gaussian, tile_start, tile_count, tile_ids,
             color_tiles, trans_tiles, g_color, g_trans, n_tiles_x, cfg,
-            chunks_done=chunks_done, gaussian_counts=gaussian_counts,
+            blocks_done=blocks_done, gaussian_counts=gaussian_counts,
             interpret=cfg.force_pallas_interpret, pair_feat=pair_feat,
         )
     from gsplat_tpu.render.tile_jnp import backward_tiles_jnp
@@ -108,12 +112,12 @@ def rasterize_tiles(
 
 
 def _fwd(feat, pair_gaussian, tile_start, tile_count, tile_ids, gaussian_counts, n_tiles_x, cfg):
-    color, trans, chunks_done, pair_feat = _forward_impl(
+    color, trans, blocks_done, pair_feat = _forward_impl(
         feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles_x, cfg
     )
     residuals = (
         feat, pair_gaussian, tile_start, tile_count, tile_ids,
-        gaussian_counts, color, trans, chunks_done, pair_feat,
+        gaussian_counts, color, trans, blocks_done, pair_feat,
     )
     return (color, trans), residuals
 
@@ -125,12 +129,12 @@ def _int_zero_cotangent(x):
 def _bwd(n_tiles_x, cfg, residuals, cotangents):
     (
         feat, pair_gaussian, tile_start, tile_count, tile_ids,
-        gaussian_counts, color, trans, chunks_done, pair_feat,
+        gaussian_counts, color, trans, blocks_done, pair_feat,
     ) = residuals
     g_color, g_trans = cotangents
     d_feat = _backward_impl(
         feat, pair_gaussian, tile_start, tile_count, tile_ids,
-        color, trans, g_color, g_trans, chunks_done, gaussian_counts,
+        color, trans, g_color, g_trans, blocks_done, gaussian_counts,
         n_tiles_x, cfg, pair_feat=pair_feat,
     )
     return (

@@ -1,10 +1,14 @@
 """Pallas TPU backward rasterization kernel.
 
 Computes d(loss)/d(packed per-gaussian features) for the tile compositor.
-Same grid/tile/DMA structure as the forward (raster_fwd.py), but each chunk
-additionally writes a [chunk, 16] per-pair gradient slab back to HBM; the
-host side then reduces per-pair gradients to per-gaussian gradients with a
-sort-based segmented cumsum (see backward_tiles_pallas).
+Same grid/tile/DMA structure as the forward (raster_fwd.py): per-pair
+features arrive as dense column-major ``[nblk, 16, pair_block]`` HBM blocks
+(64 B/pair), and each processed block additionally writes one gradient block
+of the same dense layout back to HBM; the host side then reduces per-pair
+gradients to per-gaussian gradients with a sort-based segmented cumsum (see
+backward_tiles_pallas). Each block is composited in ``chunk_size``-pair
+sub-chunks whose per-pair gradient rows accumulate in a VMEM ``[pair_block,
+16]`` scratch, transposed once per block for the dense write-back.
 
 Numerical design — the gradient walk runs *front-to-back*, in the exact
 order and with the exact intermediate values of the forward pass (a
@@ -43,18 +47,19 @@ def _bwd_kernel(
     tile_start_ref,
     tile_count_ref,
     tile_ids_ref,
-    chunks_done_ref,
+    blocks_done_ref,
     # inputs
-    feat_hbm,
+    feat_hbm,  # [nblk, 16, pair_block] dense feature blocks
     fwd_out_ref,  # [1, 8, npix]: rows 0-2 C_total, row 3 T_final
     g_out_ref,  # [1, 8, npix]: rows 0-2 dL/dC, row 3 dL/dT_final
     basis_ref,  # [1, npix, 16]: cols {1, px, py, px^2, py^2, px*py} (tile-
     # local) + {g_r, g_g, g_b} (this tile's color cotangent, as columns)
     # outputs
-    grad_hbm,
+    grad_hbm,  # [nblk_out, 16, pair_block] dense gradient blocks
     # scratch
     slab,
     in_sems,
+    gbuf,  # [pair_block, 16] row-major gradient accumulator
     gslab,
     out_sems,
     carry,
@@ -62,18 +67,21 @@ def _bwd_kernel(
     n_tiles_x: int,
     tile_size: int,
     chunk_size: int,
+    pair_block: int,
 ):
     t = pl.program_id(0)
-    start = tile_start_ref[t]
+    start = tile_start_ref[t]  # in pairs; a multiple of pair_block
     count = tile_count_ref[t]
     tid = tile_ids_ref[t]  # global tile index (differs from t under sharding)
     cs = chunk_size
+    blk = pair_block
     npix = tile_size * tile_size
-    nchunks = (count + cs - 1) // cs
-    # Chunks the forward actually composited before early termination; the
+    blk0 = start // blk
+    nblocks = (count + blk - 1) // blk
+    # Blocks the forward actually composited before early termination; the
     # tail's gradient is exactly zero (those pairs never touched the output),
-    # so those chunks only write zero slabs — no feature DMA, no compute.
-    done = jnp.minimum(chunks_done_ref[t], nchunks)
+    # so those blocks only write zero slabs — no feature DMA, no compute.
+    done = jnp.minimum(blocks_done_ref[t], nblocks)
 
     tx = tid % n_tiles_x
     ty = tid // n_tiles_x
@@ -97,50 +105,53 @@ def _bwd_kernel(
     )
     carry[1:2] = jnp.ones((1, npix), jnp.float32)
 
-    def get_dma(slot, c):
-        return pltpu.make_async_copy(
-            feat_hbm.at[pl.ds(start + c * cs, cs)], slab.at[slot], in_sems.at[slot]
-        )
+    def get_dma(slot, b):
+        return pltpu.make_async_copy(feat_hbm.at[blk0 + b], slab.at[slot], in_sems.at[slot])
 
-    def put_dma(slot, c):
-        return pltpu.make_async_copy(
-            gslab.at[slot], grad_hbm.at[pl.ds(start + c * cs, cs)], out_sems.at[slot]
-        )
+    def put_dma(slot, b):
+        return pltpu.make_async_copy(gslab.at[slot], grad_hbm.at[blk0 + b], out_sems.at[slot])
 
     @pl.when(done > 0)
     def _():
         get_dma(0, 0).start()
 
-    def body(c, _):
-        slot = jax.lax.rem(c, 2)
+    def body(b, _):
+        slot = jax.lax.rem(b, 2)
 
         # Double-buffered write-back: make sure this slot's previous DMA
-        # (from chunk c-2) has drained before overwriting the scratch.
-        @pl.when(c >= 2)
+        # (from block b-2) has drained before overwriting the scratch.
+        @pl.when(b >= 2)
         def _():
-            put_dma(slot, c - 2).wait()
+            put_dma(slot, b - 2).wait()
 
-        @pl.when(c < done)
+        @pl.when(b < done)
         def _():
-            compute_chunk(c, slot)
+            compute_block(b, slot)
 
-        @pl.when(c >= done)
+        @pl.when(b >= done)
         def _():
-            gslab[slot] = jnp.zeros((cs, 128), jnp.float32)
+            gslab[slot] = jnp.zeros((16, blk), jnp.float32)
 
-        put_dma(slot, c).start()
+        put_dma(slot, b).start()
         return ()
 
-    def compute_chunk(c, slot):
-        @pl.when(c + 1 < done)
+    def compute_block(b, slot):
+        @pl.when(b + 1 < done)
         def _():
-            get_dma(1 - slot, c + 1).start()
+            get_dma(1 - slot, b + 1).start()
 
-        get_dma(slot, c).wait()
-        feats = slab[slot]  # [cs, 16]
-        col = lambda i: feats[:, i][:, None]
+        get_dma(slot, b).wait()
+        feats_t = jnp.transpose(slab[slot], (1, 0))  # [pair_block, 16]
 
-        # --- recompute the forward chunk exactly ---
+        for i in range(blk // cs):  # static sub-chunk loop
+            compute_chunk(feats_t[i * cs : (i + 1) * cs], i)
+
+        gslab[slot] = jnp.transpose(gbuf[...], (1, 0))  # [16, pair_block]
+
+    def compute_chunk(feats, i):
+        col = lambda j: feats[:, j][:, None]
+
+        # --- recompute the forward sub-chunk exactly ---
         dx = col(B.FEAT_MEAN_X) - px
         dy = col(B.FEAT_MEAN_Y) - py
         cx, cy, cxy = col(B.FEAT_CONIC_X), col(B.FEAT_CONIC_Y), col(B.FEAT_CONIC_XY)
@@ -241,24 +252,22 @@ def _bwd_kernel(
         # test_zero_opacity_gradient_matches_jnp).
         d_opac = jnp.where(opac > 0.0, s1 / opac, 0.0)
 
-        grad = jnp.concatenate(
+        gbuf[i * cs : (i + 1) * cs] = jnp.concatenate(
             [d_mean_x, d_mean_y, d_cx, d_cy, d_cxy, d_opac] + d_rgb
-            + [jnp.zeros((cs, 128 - 9), jnp.float32)],
+            + [jnp.zeros((cs, 16 - 9), jnp.float32)],
             axis=1,
-        )  # [cs, 128] (FEAT_* lane order + padding)
+        )  # [cs, 16] (FEAT_* lane order + padding)
 
-        gslab[slot] = grad
-
-    jax.lax.fori_loop(0, nchunks, body, ())
+    jax.lax.fori_loop(0, nblocks, body, ())
 
     # Drain outstanding write DMAs.
-    @pl.when(nchunks >= 2)
+    @pl.when(nblocks >= 2)
     def _():
-        put_dma(jax.lax.rem(nchunks - 2, 2), nchunks - 2).wait()
+        put_dma(jax.lax.rem(nblocks - 2, 2), nblocks - 2).wait()
 
-    @pl.when(nchunks >= 1)
+    @pl.when(nblocks >= 1)
     def _():
-        put_dma(jax.lax.rem(nchunks - 1, 2), nchunks - 1).wait()
+        put_dma(jax.lax.rem(nblocks - 1, 2), nblocks - 1).wait()
 
 
 @functools.partial(
@@ -276,7 +285,7 @@ def backward_tiles_pallas(
     g_trans: jnp.ndarray,
     n_tiles_x: int,
     cfg: RasterConfig,
-    chunks_done: jnp.ndarray | None = None,
+    blocks_done: jnp.ndarray | None = None,
     gaussian_counts: jnp.ndarray | None = None,
     interpret: bool = False,
     pair_feat: jnp.ndarray | None = None,
@@ -285,8 +294,8 @@ def backward_tiles_pallas(
 
     Per-tile inputs: color_tiles [T, npix, 3], trans_tiles [T, npix] (the
     forward outputs) and their cotangents g_color / g_trans, same shapes.
-    ``chunks_done`` [T] int32 (from the forward kernel) limits the walk to
-    the chunks the forward composited; None walks every chunk.
+    ``blocks_done`` [T] int32 (from the forward kernel) limits the walk to
+    the feature blocks the forward composited; None walks every block.
 
     The per-pair -> per-gaussian reduction: XLA's segment_sum scatter-adds
     one row at a time (~0.5s at 4M pairs on v5e); instead the pair grads are
@@ -299,14 +308,17 @@ def backward_tiles_pallas(
     """
     ts = cfg.tile_size
     cs = cfg.chunk_size
+    blk = cfg.pair_block
+    assert blk % cs == 0, "pair_block must be a multiple of chunk_size"
     npix = ts * ts
     num_tiles = tile_ids.shape[0]
-    p_pad = pair_gaussian.shape[0] + cs
+    nblk_out = -(-pair_gaussian.shape[0] // blk)
+    p_pad = nblk_out * blk
 
     if pair_feat is None:
         from gsplat_tpu.kernels.raster_fwd import build_pair_feat
 
-        pair_feat = build_pair_feat(feat, pair_gaussian, cs)
+        pair_feat = build_pair_feat(feat, pair_gaussian, blk)
 
     f32 = jnp.float32
     # Pack per-tile forward outputs and cotangents as [T, 8, npix].
@@ -338,12 +350,13 @@ def backward_tiles_pallas(
         axis=2,
     )  # [T, npix, 16]
 
-    if chunks_done is None:
-        chunks_done = -(-tile_count // cs)
-    chunks_done = chunks_done.astype(jnp.int32)
+    if blocks_done is None:
+        blocks_done = -(-tile_count // blk)
+    blocks_done = blocks_done.astype(jnp.int32)
 
     kernel = functools.partial(
-        _bwd_kernel, n_tiles_x=n_tiles_x, tile_size=ts, chunk_size=cs
+        _bwd_kernel, n_tiles_x=n_tiles_x, tile_size=ts, chunk_size=cs,
+        pair_block=blk,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -356,16 +369,17 @@ def backward_tiles_pallas(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, cs, 128), f32),
+            pltpu.VMEM((2, 16, blk), f32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((2, cs, 128), f32),
+            pltpu.VMEM((blk, 16), f32),
+            pltpu.VMEM((2, 16, blk), f32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((2, npix), f32),
         ],
     )
     pair_grads = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((p_pad, 128), f32),
+        out_shape=jax.ShapeDtypeStruct((nblk_out, 16, blk), f32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -375,12 +389,22 @@ def backward_tiles_pallas(
             + num_tiles * npix * 32,
             transcendentals=int(pair_gaussian.shape[0]) * npix,
         ),
-    )(tile_start, tile_count, tile_ids, chunks_done, pair_feat, fwd_out, g_out, basis)
+    )(tile_start, tile_count, tile_ids, blocks_done, pair_feat, fwd_out, g_out, basis)
 
     idx = jnp.concatenate(
-        [pair_gaussian, jnp.full((cs,), feat.shape[0] - 1, pair_gaussian.dtype)]
+        [
+            pair_gaussian,
+            jnp.full((p_pad - pair_gaussian.shape[0],), feat.shape[0] - 1,
+                     pair_gaussian.dtype),
+        ]
     )
     n = feat.shape[0] - 1
+
+    # Flat per-feature gradient columns: fixed-feature slices of the dense
+    # block array ([nblk, 16, blk] -> [P] per feature) are cheap strided
+    # reads; only the 9 live columns are touched.
+    def grad_col(j):
+        return pair_grads[:, j, :].reshape(-1)
 
     if gaussian_counts is None or cfg.exact_grad_reduction:
         # Exact per-row scatter-add. Only rows inside THIS call's tile
@@ -388,17 +412,18 @@ def backward_tiles_pallas(
         # shard rasterizes an interleaved subset of tiles, and the rest of
         # the grad buffer is uninitialized HBM *with real gaussian ids in
         # pair_gaussian* — mask those rows out by interval before reducing.
-        aligned = -(-tile_count // cs) * cs
-        delta = jnp.zeros((pair_grads.shape[0] + 1,), jnp.int32)
+        aligned = -(-tile_count // blk) * blk
+        delta = jnp.zeros((p_pad + 1,), jnp.int32)
         delta = delta.at[tile_start].add(1, mode="drop")
         delta = delta.at[tile_start + aligned].add(-1, mode="drop")
         written = jnp.cumsum(delta[:-1]) > 0
         valid_row = written & (idx != n)
-        masked = jnp.where(valid_row[:, None], pair_grads[:, : B.NUM_FEATURES], 0.0)
+        rows = jnp.stack([grad_col(j) for j in range(9)], axis=1)  # [P, 9]
+        masked = jnp.where(valid_row[:, None], rows, 0.0)
         d_feat = jax.ops.segment_sum(
             masked, jnp.where(valid_row, idx, n), num_segments=feat.shape[0]
         )
-        return d_feat.astype(feat.dtype)
+        return jnp.pad(d_feat, ((0, 0), (0, B.NUM_FEATURES - 9))).astype(feat.dtype)
 
     # Sort-based reduction: sort the 9 gradient columns by gaussian id (the
     # sentinel id N sorts last, so garbage in never-written rows stays past
@@ -410,7 +435,7 @@ def backward_tiles_pallas(
     # slot 0 and gaussian_counts describes exactly this call's pairs).
     # Tile shards satisfy this by binning their own strided tile subset
     # (parallel/shard.py), so this fast path is live under sharding too.
-    cols = [pair_grads[:, j] for j in range(9)]
+    cols = [grad_col(j) for j in range(9)]
     sorted_ops = jax.lax.sort((idx, *cols), num_keys=1, is_stable=False)
     # Cumsum each column FLAT: a [P, 9] array tiles to 128 lanes on TPU
     # (14x pad), so a 2D cumsum's log-passes stream ~1 GB each; flat [P]

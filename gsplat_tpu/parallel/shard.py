@@ -146,7 +146,7 @@ def _shard_render_tiles(
     )
     bins = binning.bin_rects(
         depth, active, rects, lay.ntx_l, lay.nty_l, cfg.max_pairs,
-        align=cfg.chunk_size,
+        align=cfg.pair_block,
     )
     feat = jnp.concatenate(
         [feat_rows, jnp.zeros((1, feat_rows.shape[1]), feat_rows.dtype)], axis=0

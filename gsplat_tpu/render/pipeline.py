@@ -93,7 +93,7 @@ def render_traced(
     """
     prep = preprocess_traced(model, cam, width, height, cfg, screen_offset)
     bins = binning.bin_gaussians(
-        prep, width, height, cfg.tile_size, cfg.max_pairs, align=cfg.chunk_size
+        prep, width, height, cfg.tile_size, cfg.max_pairs, align=cfg.pair_block
     )
     feat = binning.pack_features(prep)
     n_tiles_x = -(-width // cfg.tile_size)
@@ -154,7 +154,7 @@ def binning_stats(
     """
     prep = preprocess_traced(model, cam, width, height, cfg)
     bins = binning.bin_gaussians(
-        prep, width, height, cfg.tile_size, cfg.max_pairs, align=cfg.chunk_size
+        prep, width, height, cfg.tile_size, cfg.max_pairs, align=cfg.pair_block
     )
     return {
         "num_pairs": bins.num_pairs,
@@ -187,7 +187,7 @@ def suggest_max_pairs(
     cam = CameraArrays.from_params(camera, dtype=model.means.dtype)
     stats = binning_stats(model, cam, camera.width, camera.height, cfg)
     return required_max_pairs(
-        int(stats["pair_demand"]), headroom, floor=cfg.chunk_size
+        int(stats["pair_demand"]), headroom, floor=cfg.pair_block
     )
 
 

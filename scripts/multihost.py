@@ -93,7 +93,7 @@ def virtual_mode(args):
     from gsplat_tpu.parallel.shard import make_parallel_train_step
 
     width, height = 128, 96  # small: this mode checks structure, not speed
-    cfg = RasterConfig(tile_size=16, chunk_size=8, max_pairs=1 << 14,
+    cfg = RasterConfig(tile_size=16, chunk_size=8, pair_block=8, max_pairs=1 << 14,
                        use_pallas=False)
     model = random_model(jax.random.key(0), 2000)
     camera = _camera(width, height)
@@ -164,7 +164,7 @@ def model_mode(args):
         # sharded step sizes its own buffer; P-scale costs must shrink with
         # tp for the measurement to reflect the real design).
         local_cap = max(args.max_pairs // tp, 1 << 16)
-        local_cap -= local_cap % cfg.chunk_size
+        local_cap -= local_cap % cfg.pair_block
         import dataclasses as _dc
 
         shard_cfg = _dc.replace(cfg, max_pairs=local_cap)
@@ -187,7 +187,7 @@ def model_mode(args):
             )
             return binning.bin_rects(
                 p.depth, p.active, rects, lay.ntx_l, lay.nty_l,
-                shard_cfg.max_pairs, align=shard_cfg.chunk_size,
+                shard_cfg.max_pairs, align=shard_cfg.pair_block,
             )
 
         t_bin, bins = timed(jax.jit(bin_shard), prep)
@@ -217,10 +217,10 @@ def model_mode(args):
 
         g_c = jnp.ones_like(color) * 0.1
         g_t = jnp.zeros_like(trans)
-        chunks_done = -(-bins.tile_count // cfg.chunk_size)
+        blocks_done = -(-bins.tile_count // cfg.pair_block)
         bwd = jax.jit(lambda f, b, c, t: _backward_impl(
             f, b.pair_gaussian, b.tile_start, b.tile_count, tile_ids,
-            c, t, g_c, g_t, chunks_done, b.gaussian_counts, lay.ntx_g, shard_cfg))
+            c, t, g_c, g_t, blocks_done, b.gaussian_counts, lay.ntx_g, shard_cfg))
         t_bwd, _ = timed(bwd, feat, bins, color, trans)
 
         num_pairs = int(bins.num_pairs)

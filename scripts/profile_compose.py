@@ -48,7 +48,7 @@ def main():
     def composed(m, c):
         prep = preprocess_traced(m, c, WIDTH, HEIGHT, cfg)
         bins = binning.bin_gaussians(
-            prep, WIDTH, HEIGHT, cfg.tile_size, cfg.max_pairs, align=cfg.chunk_size
+            prep, WIDTH, HEIGHT, cfg.tile_size, cfg.max_pairs, align=cfg.pair_block
         )
         feat = binning.pack_features(prep)
         color, trans, _, _ = _forward_impl(
@@ -71,7 +71,7 @@ def main():
 
     def tail(p):
         bins = binning.bin_gaussians(
-            p, WIDTH, HEIGHT, cfg.tile_size, cfg.max_pairs, align=cfg.chunk_size
+            p, WIDTH, HEIGHT, cfg.tile_size, cfg.max_pairs, align=cfg.pair_block
         )
         feat = binning.pack_features(p)
         return _forward_impl(
@@ -84,7 +84,7 @@ def main():
 
     bins = jax.jit(
         lambda p: binning.bin_gaussians(
-            p, WIDTH, HEIGHT, cfg.tile_size, cfg.max_pairs, align=cfg.chunk_size
+            p, WIDTH, HEIGHT, cfg.tile_size, cfg.max_pairs, align=cfg.pair_block
         )
     )(prep)
     jax.block_until_ready(bins)
@@ -93,7 +93,7 @@ def main():
     # Is it the binning alone when forced to materialize?
     def bin_only(p):
         b = binning.bin_gaussians(
-            p, WIDTH, HEIGHT, cfg.tile_size, cfg.max_pairs, align=cfg.chunk_size
+            p, WIDTH, HEIGHT, cfg.tile_size, cfg.max_pairs, align=cfg.pair_block
         )
         return b.pair_gaussian.sum(), b.tile_start.sum(), b.tile_count.sum()
 

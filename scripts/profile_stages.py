@@ -56,7 +56,7 @@ def main():
 
     bin_fn = jax.jit(
         lambda p: binning.bin_gaussians(
-            p, WIDTH, HEIGHT, cfg.tile_size, cfg.max_pairs, align=cfg.chunk_size
+            p, WIDTH, HEIGHT, cfg.tile_size, cfg.max_pairs, align=cfg.pair_block
         )
     )
     t_bin, bins = timed(bin_fn, prep)
@@ -68,7 +68,7 @@ def main():
     fwd_fn = jax.jit(
         lambda f, pg, ts, tc: _forward_impl(f, pg, ts, tc, tile_ids, n_tiles_x, cfg)
     )
-    t_fwd, (color, trans, chunks_done, _pf) = timed(fwd_fn, feat, bins.pair_gaussian, bins.tile_start, bins.tile_count)
+    t_fwd, (color, trans, blocks_done, _pf) = timed(fwd_fn, feat, bins.pair_gaussian, bins.tile_start, bins.tile_count)
 
     g_color = jnp.ones_like(color) * 0.1
     g_trans = jnp.zeros_like(trans)
@@ -79,7 +79,7 @@ def main():
     )
     t_bwd, _ = timed(
         bwd_fn, feat, bins.pair_gaussian, bins.tile_start, bins.tile_count,
-        color, trans, g_color, g_trans, chunks_done, bins.gaussian_counts,
+        color, trans, g_color, g_trans, blocks_done, bins.gaussian_counts,
     )
 
     # Full fwd+bwd for reference.

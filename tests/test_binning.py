@@ -138,12 +138,12 @@ def test_binning_stats_and_suggest_max_pairs():
     camera = orbit_camera(0.1, width=64, height=48)
     cam = CameraArrays.from_params(camera)
 
-    big = RasterConfig(tile_size=16, chunk_size=8, max_pairs=1 << 13, use_pallas=False)
+    big = RasterConfig(tile_size=16, chunk_size=8, pair_block=8, max_pairs=1 << 13, use_pallas=False)
     s = binning_stats(model, cam, 64, 48, big)
     assert not bool(s["overflowed"])
     assert int(s["num_pairs"]) == int(s["pair_demand"]) > 0
 
-    tiny = RasterConfig(tile_size=16, chunk_size=8, max_pairs=16, use_pallas=False)
+    tiny = RasterConfig(tile_size=16, chunk_size=8, pair_block=8, max_pairs=16, use_pallas=False)
     s2 = binning_stats(model, cam, 64, 48, tiny)
     assert bool(s2["overflowed"])
     assert int(s2["pair_demand"]) == int(s["pair_demand"])  # demand is capacity-free

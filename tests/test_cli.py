@@ -113,7 +113,7 @@ def test_progressive_frames_converge_to_full_render(scene_dir):
     from gsplat_tpu.utils.video import progressive_frames
     from fixtures import make_camera
 
-    cfg = RasterConfig(tile_size=16, chunk_size=8, max_pairs=1 << 13, use_pallas=False)
+    cfg = RasterConfig(tile_size=16, chunk_size=8, pair_block=8, max_pairs=1 << 13, use_pallas=False)
     model = GaussianModel.from_arrays(
         load_splat_arrays(checkpoint_ply_path(os.path.join(scene_dir, "model")))
     )

@@ -11,7 +11,7 @@ from gsplat_tpu.models.gaussians import GaussianModel
 
 from fixtures import orbit_camera, random_splat_arrays
 
-CFG = RasterConfig(tile_size=16, chunk_size=8, max_pairs=1 << 13, use_pallas=False)
+CFG = RasterConfig(tile_size=16, chunk_size=8, pair_block=8, max_pairs=1 << 13, use_pallas=False)
 
 
 @pytest.fixture(scope="module")

@@ -14,7 +14,7 @@ from gsplat_tpu.render.tile_jnp import backward_tiles_jnp, forward_tiles_jnp
 
 from fixtures import orbit_camera, random_splat_arrays
 
-CFG = RasterConfig(tile_size=16, chunk_size=8, max_pairs=4096, use_pallas=True)
+CFG = RasterConfig(tile_size=16, chunk_size=8, pair_block=8, max_pairs=4096, use_pallas=True)
 WIDTH, HEIGHT = 48, 32
 NTX = -(-WIDTH // CFG.tile_size)
 NTY = -(-HEIGHT // CFG.tile_size)
@@ -28,7 +28,7 @@ def binned():
     model = GaussianModel.from_arrays(arrays)
     prep = preprocess(model, camera, CFG)
     bins = binning.bin_gaussians(
-        prep, WIDTH, HEIGHT, CFG.tile_size, CFG.max_pairs, align=CFG.chunk_size
+        prep, WIDTH, HEIGHT, CFG.tile_size, CFG.max_pairs, align=CFG.pair_block
     )
     feat = binning.pack_features(prep)
     tile_ids = jnp.arange(NTX * NTY, dtype=jnp.int32)
@@ -96,7 +96,7 @@ def test_forward_kernel_early_stop(binned):
 
     feat, bins, tile_ids = binned
     cfg_es = RasterConfig(
-        tile_size=16, chunk_size=8, max_pairs=4096, early_stop_transmittance=1e-4
+        tile_size=16, chunk_size=8, pair_block=8, max_pairs=4096, early_stop_transmittance=1e-4
     )
     col_ref, _, _ = forward_tiles_pallas(
         feat, bins.pair_gaussian, bins.tile_start, bins.tile_count, tile_ids,
@@ -113,7 +113,7 @@ def _manual_binned(feat_rows: np.ndarray, tile_pairs, cfg):
     """Hand-built binned inputs: per-tile pair lists, chunk-aligned with
     sentinel padding (what ops.binning produces)."""
     n = feat_rows.shape[0]
-    align = cfg.chunk_size
+    align = cfg.pair_block
     feat = jnp.concatenate(
         [jnp.asarray(feat_rows, jnp.float32), jnp.zeros((1, 16), jnp.float32)]
     )
@@ -139,7 +139,7 @@ def test_zero_opacity_gradient_matches_jnp():
     kernel's s1/opac substitution is not a divergence)."""
     from gsplat_tpu.kernels.raster_bwd import backward_tiles_pallas
 
-    cfg = RasterConfig(tile_size=16, chunk_size=8, max_pairs=64)
+    cfg = RasterConfig(tile_size=16, chunk_size=8, pair_block=8, max_pairs=64)
     rows = np.zeros((2, 16), np.float32)
     # gaussian 0: normal splat centered on the tile
     rows[0] = [7.5, 7.5, 0.05, 0.05, 0.0, 0.8, 0.9, 0.2, 0.1, 0, 0, 16, 16, 0, 0, 0]
@@ -179,7 +179,7 @@ def test_far_tile_splat_gradient_error_bounded():
     cancels (the worst case ADVICE.md flags)."""
     from gsplat_tpu.kernels.raster_bwd import backward_tiles_pallas
 
-    cfg = RasterConfig(tile_size=16, chunk_size=8, max_pairs=64)
+    cfg = RasterConfig(tile_size=16, chunk_size=8, pair_block=8, max_pairs=64)
     rng = np.random.default_rng(7)
     n = 6
     rows = np.zeros((n, 16), np.float32)

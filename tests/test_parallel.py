@@ -15,7 +15,7 @@ from gsplat_tpu.parallel.shard import make_parallel_train_step, make_sharded_ren
 
 from fixtures import orbit_camera, random_splat_arrays
 
-CFG = RasterConfig(tile_size=16, chunk_size=8, max_pairs=1 << 13, use_pallas=False)
+CFG = RasterConfig(tile_size=16, chunk_size=8, pair_block=8, max_pairs=1 << 13, use_pallas=False)
 W, H = 64, 48
 
 

@@ -8,7 +8,7 @@ from gsplat_tpu.models.gaussians import GaussianModel
 
 from fixtures import orbit_camera, random_splat_arrays
 
-CFG = RasterConfig(tile_size=16, chunk_size=8, max_pairs=1 << 14, use_pallas=False)
+CFG = RasterConfig(tile_size=16, chunk_size=8, pair_block=8, max_pairs=1 << 14, use_pallas=False)
 
 
 @pytest.fixture(scope="module")
@@ -88,7 +88,7 @@ def test_alpha_cull_exactness_on_big_transparent_splats():
     camera = orbit_camera(0.1, width=96, height=64)
     model = GaussianModel.from_arrays(arrays)
     ref_img, _ = reference_render(arrays, camera)
-    img, _ = render(model, camera, RasterConfig(tile_size=16, chunk_size=8, max_pairs=1 << 15, use_pallas=False))
+    img, _ = render(model, camera, RasterConfig(tile_size=16, chunk_size=8, pair_block=8, max_pairs=1 << 15, use_pallas=False))
     np.testing.assert_allclose(np.asarray(img), ref_img, rtol=1e-3, atol=2e-4)
 
 
@@ -100,7 +100,7 @@ def test_culled_scene_renders_black():
     arrays["means"][:, 2] = -100.0
     camera = orbit_camera(0.0, width=32, height=32)
     model = GaussianModel.from_arrays(arrays)
-    img, trans = render(model, camera, RasterConfig(tile_size=16, chunk_size=8, max_pairs=4096, use_pallas=False))
+    img, trans = render(model, camera, RasterConfig(tile_size=16, chunk_size=8, pair_block=8, max_pairs=4096, use_pallas=False))
     assert float(np.abs(np.asarray(img)).max()) == 0.0
     assert float(np.asarray(trans).min()) == 1.0
 
@@ -128,7 +128,7 @@ def test_render_depth_expected_values():
     camera = make_camera(48, 48)
     model = GaussianModel.from_arrays(arrays)
     cam = CameraArrays.from_params(camera)
-    cfg = RasterConfig(tile_size=16, chunk_size=8, max_pairs=1 << 10, use_pallas=False)
+    cfg = RasterConfig(tile_size=16, chunk_size=8, pair_block=8, max_pairs=1 << 10, use_pallas=False)
     depth, trans = render_depth(model, cam, 48, 48, cfg, near=0.2, far=100.0)
     center = float(depth[24, 24])
     t_center = float(trans[24, 24])

@@ -18,7 +18,7 @@ from gsplat_tpu.train.trainer import Trainer
 
 from fixtures import orbit_camera, random_splat_arrays
 
-CFG = RasterConfig(tile_size=16, chunk_size=8, max_pairs=1 << 13, use_pallas=False)
+CFG = RasterConfig(tile_size=16, chunk_size=8, pair_block=8, max_pairs=1 << 13, use_pallas=False)
 
 
 def test_ssim_identity_and_range():
@@ -98,7 +98,7 @@ def test_trainer_auto_pairs_resizes_on_overflow():
     target = render(GaussianModel.from_arrays(arrays), cam, CFG)[0]
     model = GaussianModel.from_arrays(arrays)
 
-    tiny = RasterConfig(tile_size=16, chunk_size=8, max_pairs=64, use_pallas=False)
+    tiny = RasterConfig(tile_size=16, chunk_size=8, pair_block=8, max_pairs=64, use_pallas=False)
     tc = TrainConfig(steps=3, log_every=10, ssim_weight=0.0)
 
     trainer = Trainer(raster=tiny, train=tc, show_progress=False)
@@ -106,7 +106,7 @@ def test_trainer_auto_pairs_resizes_on_overflow():
     assert trainer.raster.max_pairs > 64  # resized to cover the demand
 
     roomy = RasterConfig(
-        tile_size=16, chunk_size=8, max_pairs=trainer.raster.max_pairs,
+        tile_size=16, chunk_size=8, pair_block=8, max_pairs=trainer.raster.max_pairs,
         use_pallas=False,
     )
     ref_trainer = Trainer(raster=roomy, train=tc, show_progress=False)
