@@ -329,18 +329,71 @@ def finetune(
 ):
     """Fine-tune the splat model against the scene's ground-truth views
     (BASELINE.json config 4: the full-VJP workload)."""
+    cfg = _raster_config(tile_size, chunk_size, max_pairs, early_stop, backend)
+    model, _, _, _ = _load_scene(input_dir, trained_model_path, scene_index, scale_factor)
+    views = _load_views(input_dir, scale_factor)
+    logger.info("fine-tuning on %d views for %d steps", len(views), steps)
+    _run_training(
+        model, views, cfg, auto_pairs, output_path, steps, ssim_weight,
+        save_iteration, densify, densify_every, densify_grad_threshold,
+        sh_warmup_every,
+    )
+
+
+@cli.command()
+@common_options
+@click.option("--output_path", type=str, default="")
+@click.option("--steps", type=int, default=2000)
+@click.option("--ssim-weight", type=float, default=0.2)
+@click.option("--save-iteration", type=int, default=30000,
+              help="iteration label for the exported PLY checkpoint")
+@click.option("--densify/--no-densify", default=True,
+              help="adaptive density control (on by default when training "
+                   "from scratch; see DensifyConfig)")
+@click.option("--densify-every", type=int, default=100)
+@click.option("--densify-grad-threshold", type=float, default=2e-4)
+@click.option("--sh-warmup-every", type=int, default=0,
+              help="bump the trained SH degree every N steps (3DGS warmup; "
+                   "0 = full degree from the start)")
+@click.option("--initial-opacity", type=float, default=0.1)
+def train(
+    input_dir, trained_model_path, scene_index, scale_factor,
+    tile_size, chunk_size, max_pairs, early_stop, backend, auto_pairs,
+    output_path, steps, ssim_weight, save_iteration,
+    densify, densify_every, densify_grad_threshold, sh_warmup_every,
+    initial_opacity,
+):
+    """Train a splat model FROM SCRATCH: initialize from the scene's COLMAP
+    SfM points (sparse/0/points3D) and optimize against its ground-truth
+    views — the full 3DGS loop (init -> densify -> optimize). The reference
+    only parses points3D (data_reader.py:48-114); here they are the
+    train-from-scratch seed (GaussianModel.from_points3d)."""
+    from gsplat_tpu.io.scene import read_points3d
+    from gsplat_tpu.models.gaussians import GaussianModel
+
+    cfg = _raster_config(tile_size, chunk_size, max_pairs, early_stop, backend)
+    xyzs, rgbs, _ = read_points3d(input_dir)
+    model = GaussianModel.from_points3d(xyzs, rgbs, initial_opacity=initial_opacity)
+    views = _load_views(input_dir, scale_factor)
+    logger.info(
+        "training from %d SfM points on %d views for %d steps",
+        model.num_gaussians, len(views), steps,
+    )
+    _run_training(
+        model, views, cfg, auto_pairs, output_path, steps, ssim_weight,
+        save_iteration, densify, densify_every, densify_grad_threshold,
+        sh_warmup_every,
+    )
+
+
+def _load_views(input_dir, scale_factor):
+    """Every (camera, GT image) pair of the scene at the given scale."""
     from PIL import Image
 
     import jax.numpy as jnp
 
     from gsplat_tpu.io.scene import read_scene
     from gsplat_tpu.ops.camera import CameraParams
-    from gsplat_tpu.train.checkpoint import save_ply_checkpoint
-    from gsplat_tpu.train.trainer import Trainer
-    from gsplat_tpu.utils.logging import log_metrics
-
-    cfg = _raster_config(tile_size, chunk_size, max_pairs, early_stop, backend)
-    model, _, _, _ = _load_scene(input_dir, trained_model_path, scene_index, scale_factor)
 
     scenes, cam_info = read_scene(input_dir)
     views = []
@@ -352,9 +405,18 @@ def finetune(
         gt = jnp.asarray(np.asarray(img, dtype=np.float32) / 255.0)
         cam = CameraParams.from_colmap(scene, cam_info[1], img.size[0], img.size[1])
         views.append((cam, gt))
-    logger.info("fine-tuning on %d views for %d steps", len(views), steps)
+    return views
 
+
+def _run_training(
+    model, views, cfg, auto_pairs, output_path, steps, ssim_weight,
+    save_iteration, densify, densify_every, densify_grad_threshold,
+    sh_warmup_every,
+):
     from gsplat_tpu.config import DensifyConfig
+    from gsplat_tpu.train.checkpoint import save_ply_checkpoint
+    from gsplat_tpu.train.trainer import Trainer
+    from gsplat_tpu.utils.logging import log_metrics
 
     dcfg = (
         DensifyConfig(every=densify_every, grad_threshold=densify_grad_threshold)
@@ -374,7 +436,8 @@ def finetune(
     )
     if output_path:
         ply = save_ply_checkpoint(output_path, model, iteration=save_iteration)
-        logger.info("saved fine-tuned checkpoint to %s", ply)
+        logger.info("saved trained checkpoint to %s", ply)
+    return model, history
 
 
 if __name__ == "__main__":

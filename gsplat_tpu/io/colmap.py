@@ -295,3 +295,31 @@ def write_extrinsics_binary(path: str, images: Dict[int, BaseImage]) -> None:
                 rec["y"] = np.asarray(img.xys)[:, 1]
                 rec["id"] = np.asarray(img.point3D_ids)
                 f.write(rec.tobytes())
+
+
+def write_points3D_binary(
+    path: str,
+    xyzs: np.ndarray,
+    rgbs: np.ndarray,
+    errors: np.ndarray | None = None,
+) -> None:
+    """Write a ``points3D.bin`` (empty tracks) that ``read_points3D_binary``
+    and COLMAP itself can parse. Fixture/tooling helper."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    xyzs = np.asarray(xyzs, np.float64)
+    rgbs = np.asarray(rgbs)
+    n = xyzs.shape[0]
+    if errors is None:
+        errors = np.zeros((n, 1))
+    header = struct.Struct("<QdddBBBd")
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", n))
+        for i in range(n):
+            f.write(
+                header.pack(
+                    i + 1, *xyzs[i].tolist(),
+                    *np.asarray(rgbs[i], np.uint8).tolist(),
+                    float(np.asarray(errors[i]).ravel()[0]),
+                )
+            )
+            f.write(struct.pack("<Q", 0))  # track length

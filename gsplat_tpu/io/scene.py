@@ -42,3 +42,18 @@ def checkpoint_ply_path(trained_model_path: str, iteration: int = 30000) -> str:
     return os.path.join(
         trained_model_path, f"point_cloud/iteration_{iteration}/point_cloud.ply"
     )
+
+
+def read_points3d(path_to_scene: str):
+    """Load the SfM point cloud from ``<scene>/sparse/0/points3D.{bin,txt}``
+    -> (xyzs [N,3], rgbs [N,3], errors [N,1]). The train-from-scratch entry
+    initializes splats from these (GaussianModel.from_points3d); the
+    reference parses the same files (data_reader.py:48-114) but never
+    consumes them."""
+    from gsplat_tpu.io.colmap import read_points3D_binary, read_points3D_text
+
+    sparse = os.path.join(path_to_scene, "sparse/0")
+    bin_path = os.path.join(sparse, "points3D.bin")
+    if os.path.exists(bin_path):
+        return read_points3D_binary(bin_path)
+    return read_points3D_text(os.path.join(sparse, "points3D.txt"))

@@ -86,6 +86,71 @@ class GaussianModel:
     def __repr__(self) -> str:
         return f"GaussianModel(num_gaussians={self.means.shape[0]})"
 
+    @classmethod
+    def from_points3d(
+        cls,
+        xyzs: np.ndarray,
+        rgbs: np.ndarray,
+        initial_opacity: float = 0.1,
+        dtype=jnp.float32,
+    ) -> "GaussianModel":
+        """Initialize a trainable splat model from COLMAP SfM points — the
+        3DGS train-from-scratch entry (the reference only *parses* points3D,
+        data_reader.py:48-114, and never consumes them; this is the consumer).
+
+        Recipe per the 3DGS paper's initialization:
+          * means = the SfM point positions;
+          * color: the degree-0 SH band is set so ``sh_to_rgb`` reproduces
+            the point's RGB (``(rgb/255 - 0.5) / C0``; sh_to_rgb adds the
+            +0.5 offset back, spherical_harmonics.py:69), higher bands zero;
+          * scales: isotropic, std-dev = sqrt(mean squared distance to the
+            3 nearest neighbours) (an estimate of local point spacing);
+          * rotations: identity; opacity: sigmoid^-1(initial_opacity).
+        """
+        from gsplat_tpu.ops.sh import SH_C0
+
+        xyz = jnp.asarray(xyzs, dtype)
+        n = xyz.shape[0]
+        rgb = jnp.asarray(rgbs, dtype) / 255.0
+        sh = jnp.zeros((n, 16, 3), dtype)
+        sh = sh.at[:, 0, :].set((rgb - 0.5) / SH_C0)
+        dist2 = jnp.maximum(knn_mean_sq_dist(xyz), 1e-7)
+        log_scales = jnp.repeat(0.5 * jnp.log(dist2)[:, None], 3, axis=1)
+        quats = jnp.tile(jnp.asarray([1.0, 0.0, 0.0, 0.0], dtype), (n, 1))
+        logit = float(np.log(initial_opacity / (1.0 - initial_opacity)))
+        return cls(
+            means=xyz,
+            log_scales=log_scales,
+            quats=quats,
+            opacity_logits=jnp.full((n,), logit, dtype),
+            sh=sh,
+        )
+
+
+def knn_mean_sq_dist(xyz: jnp.ndarray, k: int = 3, chunk: int = 256) -> jnp.ndarray:
+    """Mean squared distance from each point to its ``k`` nearest neighbours
+    (excluding itself), [N]. Brute force in ``chunk``-point query blocks
+    (each block is one [chunk, N] distance matrix — a few hundred MB at the
+    ~100-500K points a COLMAP sparse reconstruction has; for much larger
+    clouds subsample before calling)."""
+    n = xyz.shape[0]
+    k_eff = min(k + 1, n)  # +1: the query point itself is its own 0-distance NN
+    if k_eff <= 1:
+        return jnp.ones((n,), xyz.dtype)
+    nblocks = -(-n // chunk)
+    # Pad with +inf queries: their distances are inf everywhere, harmless.
+    pad = jnp.full((nblocks * chunk - n, 3), jnp.inf, xyz.dtype)
+    xyz_p = jnp.concatenate([xyz, pad], axis=0)
+
+    def one_block(b):
+        q = jax.lax.dynamic_slice_in_dim(xyz_p, b * chunk, chunk, axis=0)
+        d2 = jnp.sum((q[:, None, :] - xyz[None, :, :]) ** 2, axis=-1)
+        top, _ = jax.lax.top_k(-d2, k_eff)  # [chunk, k_eff], top[0] == self
+        return -jnp.mean(top[:, 1:], axis=1)
+
+    out = jax.lax.map(one_block, jnp.arange(nblocks))
+    return out.reshape(-1)[:n]
+
 
 DEAD_OPACITY_LOGIT = -30.0
 # sigmoid(-30) ~ 9e-14: far below the 1/255 alpha gate, so a dead slot's

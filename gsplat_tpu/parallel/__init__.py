@@ -9,6 +9,7 @@ from gsplat_tpu.parallel.mesh import (
 from gsplat_tpu.parallel.shard import (
     ParallelTrainer,
     make_parallel_train_step,
+    make_sharded_binning_stats,
     make_sharded_render,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "initialize_distributed",
     "make_mesh",
     "make_parallel_train_step",
+    "make_sharded_binning_stats",
     "make_sharded_render",
 ]

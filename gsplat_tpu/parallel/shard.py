@@ -98,7 +98,7 @@ def _make_layout(width: int, height: int, tile_size: int, tp: int) -> _ShardLayo
 
 
 
-def _shard_render_tiles(
+def _shard_bin(
     model_p: GaussianModel,
     cam: CameraArrays,
     lay: _ShardLayout,
@@ -108,9 +108,9 @@ def _shard_render_tiles(
     n_local: int,
     screen_offset=None,
 ):
-    """One shard's render, called inside shard_map: preprocess this device's
-    gaussian slice, all-gather packed rows, bin + rasterize this device's
-    strided tile subset. Returns (color [T_l, npix, 3], trans [T_l, npix]).
+    """One shard's preprocess + binning, called inside shard_map: preprocess
+    this device's gaussian slice, all-gather packed rows, bin this device's
+    strided tile subset. Returns (feat [N+1, 16], bins, tile_ids [T_l]).
 
     ``screen_offset``: optional replicated [C_pool, 2] viewspace-gradient
     probe (train/densify.py), sliced alongside the model."""
@@ -154,11 +154,75 @@ def _shard_render_tiles(
 
     li = jnp.arange(lay.tiles_local, dtype=jnp.int32)
     tile_ids = (oy + (li // lay.ntx_l) * lay.sy) * lay.ntx_g + ox + (li % lay.ntx_l) * lay.sx
+    return feat, bins, tile_ids
+
+
+def _shard_render_tiles(
+    model_p: GaussianModel,
+    cam: CameraArrays,
+    lay: _ShardLayout,
+    width: int,
+    height: int,
+    cfg: RasterConfig,
+    n_local: int,
+    screen_offset=None,
+):
+    """One shard's render (see :func:`_shard_bin`): bin this device's strided
+    tile subset, then rasterize it. Returns (color [T_l, npix, 3],
+    trans [T_l, npix])."""
+    feat, bins, tile_ids = _shard_bin(
+        model_p, cam, lay, width, height, cfg, n_local, screen_offset
+    )
     color, trans = rasterize_tiles(
         feat, bins.pair_gaussian, bins.tile_start, bins.tile_count,
         tile_ids, bins.gaussian_counts, lay.ntx_g, cfg,
     )
     return color, trans
+
+
+def make_sharded_binning_stats(
+    mesh: Mesh, width: int, height: int, cfg: RasterConfig
+) -> Callable[[GaussianModel, CameraArrays], dict]:
+    """Per-shard pair-budget diagnostics under the strided tile sharding.
+
+    ``cfg.max_pairs`` is the PER-SHARD capacity, and the 2D-strided layout
+    only *decorrelates* per-shard load — it does not equalize it — so the
+    binding number is the MAX over shards of each shard's own strided-binning
+    ``pair_demand`` (psum-maxed across the mesh), not whole-frame demand
+    divided by the tile factor. Returns fn(model, cam) -> dict with
+    ``max_shard_demand`` / ``overflowed`` (round-2 ADVICE: a hot shard can
+    exceed the 1.5x headroom even when the divided estimate passes)."""
+    tp = mesh.shape[TILE_AXIS]
+    lay = _make_layout(width, height, cfg.tile_size, tp)
+    axes = (DATA_AXIS, TILE_AXIS)
+
+    @jax.jit
+    def stats_fn(model: GaussianModel, cam: CameraArrays) -> dict:
+        n_local = -(-model.num_gaussians // tp)
+        model_p = _pad_model(model, n_local * tp)
+
+        def shard_fn(m, c):
+            _, bins, _ = _shard_bin(m, c, lay, width, height, cfg, n_local)
+            return (
+                jax.lax.pmax(bins.pair_demand, axes),
+                jax.lax.pmax(bins.num_pairs, axes),
+            )
+
+        demand, num_pairs = jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(model_p, cam)
+        return {
+            "max_shard_demand": demand,
+            "max_shard_pairs": num_pairs,
+            "capacity": jnp.int32(cfg.max_pairs),
+            "overflowed": demand > cfg.max_pairs,
+        }
+
+    return stats_fn
 
 
 def _stacked_to_image(stacked, pos_j, width, height, tile_size):
@@ -355,11 +419,49 @@ class ParallelTrainer:
     train: TrainConfig
     auto_pairs: bool = True
     show_progress: bool = True
+    _stats_fn: object = None  # cached per-shard demand probe (check_capacity)
+
+    def check_capacity(self, model, cams, width, height) -> bool:
+        """Measure the MAX per-shard pair demand of the strided binning over
+        the given CameraArrays (the binding number — ``max_pairs`` is the
+        per-shard capacity and the strided layout only decorrelates load).
+        On overflow: resize ``self.raster`` (auto_pairs) and return True
+        (caller rebuilds the sharded step), or warn loudly."""
+        from gsplat_tpu.render.pipeline import required_max_pairs
+        from gsplat_tpu.utils.logging import get_logger
+
+        logger = get_logger()
+        if self._stats_fn is None:
+            self._stats_fn = make_sharded_binning_stats(
+                self.mesh, width, height, self.raster
+            )
+        demand = 0
+        for cam in cams:
+            demand = max(
+                demand, int(self._stats_fn(model, cam)["max_shard_demand"])
+            )
+        if demand <= self.raster.max_pairs:
+            return False
+        target = required_max_pairs(demand)
+        if self.auto_pairs:
+            logger.warning(
+                "per-shard pair demand %d exceeds capacity %d: resizing "
+                "max_pairs to %d (one recompile)",
+                demand, self.raster.max_pairs, target,
+            )
+            self.raster = dataclasses.replace(self.raster, max_pairs=target)
+            self._stats_fn = None  # capacity is baked into the probe
+            return True
+        logger.warning(
+            "per-shard pair demand %d exceeds capacity %d: deepest splats "
+            "will be dropped (suggested max_pairs=%d)",
+            demand, self.raster.max_pairs, target,
+        )
+        return False
 
     def fit(self, model, views, steps=None, log_fn=None):
         import jax as _jax
 
-        from gsplat_tpu.render.pipeline import binning_stats, required_max_pairs
         from gsplat_tpu.utils.logging import get_logger
         from gsplat_tpu.utils.progress import progress
 
@@ -371,30 +473,9 @@ class ParallelTrainer:
         if any(c.width != width or c.height != height for c, _ in views):
             raise ValueError("all views must share one resolution")
 
-        # Budget check over every view; cfg.max_pairs is the PER-SHARD
-        # capacity, so the whole-frame demand divides by the tile factor
-        # (imbalance headroom comes from required_max_pairs' 1.5x).
-        tp = self.mesh.shape[TILE_AXIS]
-        demand = 0
-        for c, _ in views:
-            stats = binning_stats(
-                model, CameraArrays.from_params(c), width, height, self.raster
-            )
-            demand = max(demand, -(-int(stats["pair_demand"]) // tp))
-        if demand > self.raster.max_pairs:
-            target = required_max_pairs(demand)
-            if self.auto_pairs:
-                logger.warning(
-                    "per-shard pair demand %d exceeds capacity %d: using "
-                    "max_pairs=%d", demand, self.raster.max_pairs, target,
-                )
-                self.raster = dataclasses.replace(self.raster, max_pairs=target)
-            else:
-                logger.warning(
-                    "per-shard pair demand %d exceeds capacity %d: deepest "
-                    "splats will be dropped (suggested max_pairs=%d)",
-                    demand, self.raster.max_pairs, target,
-                )
+        cams_all = [CameraArrays.from_params(c) for c, _ in views]
+        self._stats_fn = None
+        self.check_capacity(model, cams_all, width, height)
 
         dc = self.train.densify
         if dc is not None:
@@ -405,11 +486,13 @@ class ParallelTrainer:
             dstate = D.DensifyState.zero(model.num_gaussians)
             key = _jax.random.key(0)
 
-        step_fn, init_state, prepare_targets = make_parallel_train_step(
-            self.mesh, width, height, self.raster, self.train,
-            with_viewspace_grad=dc is not None,
-        )
-        cams_all = [CameraArrays.from_params(c) for c, _ in views]
+        def build_step():
+            return make_parallel_train_step(
+                self.mesh, width, height, self.raster, self.train,
+                with_viewspace_grad=dc is not None,
+            )
+
+        step_fn, init_state, prepare_targets = build_step()
         targets_all = [prepare_targets(jnp.stack([t])) for _, t in views]
         opt_state = init_state(model)
         history = []
@@ -436,6 +519,13 @@ class ParallelTrainer:
                         step, int(dstats["cloned"]), int(dstats["split"]),
                         int(dstats["pruned"]), int(dstats["alive"]),
                     )
+                    # Clones/splits grow pair demand mid-training; re-check
+                    # the batch's views and rebuild the sharded step if the
+                    # budget grew (round-2 ADVICE, medium).
+                    if self.check_capacity(
+                        model, [cams_all[i] for i in idx], width, height
+                    ):
+                        step_fn, _, _ = build_step()
                 if dc.opacity_reset_every and step > 0 and (
                     step % dc.opacity_reset_every == 0
                 ):
@@ -446,6 +536,10 @@ class ParallelTrainer:
                 history.append(record)
                 if log_fn is not None:
                     log_fn(record)
+                if step > 0 and self.check_capacity(
+                    model, [cams_all[idx[0]]], width, height
+                ):
+                    step_fn, _, _ = build_step()
         if dc is not None:
             from gsplat_tpu.train import densify as D
 

@@ -120,6 +120,13 @@ def write_synthetic_scene(
         )
     colmap.write_intrinsics_binary(os.path.join(root, "sparse/0/cameras.bin"), cameras)
     colmap.write_extrinsics_binary(os.path.join(root, "sparse/0/images.bin"), images)
+    # SfM point cloud (train-from-scratch seed): sample in-frustum points.
+    n_pts = max(n_gaussians // 2, 8)
+    colmap.write_points3D_binary(
+        os.path.join(root, "sparse/0/points3D.bin"),
+        xyzs=rng.uniform(-1.0, 1.0, (n_pts, 3)),
+        rgbs=rng.integers(0, 256, (n_pts, 3)),
+    )
 
     img_dir = os.path.join(root, f"images_{scale_factor}")
     os.makedirs(img_dir, exist_ok=True)

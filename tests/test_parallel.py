@@ -204,3 +204,89 @@ def test_parallel_trainer_fit(scene):
 
     assert out_d.num_gaussians == int(np.asarray(D.alive_mask(out_d)).sum())
     assert out_d.num_gaussians > 0
+
+
+def test_sharded_binning_stats_sees_hot_shard():
+    """The per-shard demand probe must report the MAX shard demand, which for
+    a deliberately imbalanced scene (all splats piled onto one shard's tile
+    stripe) far exceeds whole-frame demand / tp — the estimate the round-2
+    ParallelTrainer budget check used (it silently truncated here)."""
+    from gsplat_tpu.parallel.shard import make_sharded_binning_stats
+    from gsplat_tpu.render.pipeline import binning_stats
+
+    # Splats concentrated in a tiny region -> they land on few tiles, all
+    # owned by one shard of the strided layout.
+    rng = np.random.default_rng(13)
+    n = 120
+    arrays = {
+        "means": np.concatenate(
+            [rng.uniform(-0.04, 0.04, (n, 2)), rng.uniform(-0.1, 0.1, (n, 1))],
+            axis=1,
+        ).astype(np.float32),
+        "log_scales": np.full((n, 3), -3.0, np.float32),
+        "quats": np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1)),
+        "opacity_logits": np.full((n,), 2.0, np.float32),
+        "sh": rng.normal(size=(n, 16, 3)).astype(np.float32) * 0.2,
+    }
+    model = GaussianModel.from_arrays(arrays)
+    camera = orbit_camera(0.0, width=W, height=H)
+    cam = CameraArrays.from_params(camera)
+
+    whole = binning_stats(model, cam, W, H, CFG)
+    whole_demand = int(whole["pair_demand"])
+    assert whole_demand > 0
+
+    tp = 8
+    mesh = make_mesh(MeshConfig(data=1, tile=tp))
+    stats_fn = make_sharded_binning_stats(mesh, W, H, CFG)
+    s = stats_fn(model, cam)
+    max_shard = int(s["max_shard_demand"])
+    # the hot shard carries far more than the even-split estimate
+    assert max_shard > 2 * (whole_demand // tp), (max_shard, whole_demand)
+
+
+def test_parallel_trainer_resizes_on_hot_shard():
+    """ParallelTrainer.fit must budget-check the measured per-shard demand:
+    with a hot shard, auto_pairs grows max_pairs above the divided estimate
+    (the round-2 check would have passed and truncated silently)."""
+    from gsplat_tpu.parallel.shard import ParallelTrainer
+
+    rng = np.random.default_rng(14)
+    n = 100
+    arrays = {
+        "means": np.concatenate(
+            [rng.uniform(-0.04, 0.04, (n, 2)), rng.uniform(-0.1, 0.1, (n, 1))],
+            axis=1,
+        ).astype(np.float32),
+        "log_scales": np.full((n, 3), -3.0, np.float32),
+        "quats": np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1)),
+        "opacity_logits": np.full((n,), 2.0, np.float32),
+        "sh": rng.normal(size=(n, 16, 3)).astype(np.float32) * 0.2,
+    }
+    model = GaussianModel.from_arrays(arrays)
+    camera = orbit_camera(0.0, width=W, height=H)
+    target = render(model, camera, CFG)[0]
+
+    tp = 8
+    mesh = make_mesh(MeshConfig(data=1, tile=tp))
+    from gsplat_tpu.parallel.shard import make_sharded_binning_stats
+
+    probe = make_sharded_binning_stats(mesh, W, H, CFG)
+    hot = int(probe(model, CameraArrays.from_params(camera))["max_shard_demand"])
+
+    # capacity: passes the old divided estimate, fails the hot shard
+    from gsplat_tpu.render.pipeline import binning_stats as _bs
+
+    whole = int(_bs(model, CameraArrays.from_params(camera), W, H, CFG)["pair_demand"])
+    cap = max(whole // tp + 8, 8)
+    assert cap < hot, (cap, hot)  # the imbalance the test is about
+    tiny = RasterConfig(
+        tile_size=16, chunk_size=8, pair_block=8, max_pairs=cap, use_pallas=False
+    )
+    trainer = ParallelTrainer(
+        mesh=mesh, raster=tiny,
+        train=TrainConfig(steps=2, log_every=10, ssim_weight=0.0),
+        show_progress=False,
+    )
+    trainer.fit(model, [(camera, target)])
+    assert trainer.raster.max_pairs >= hot, (trainer.raster.max_pairs, hot)
