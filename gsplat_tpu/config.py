@@ -87,8 +87,17 @@ class DensifyConfig:
     Attributes:
       every/start/until: run the densify+prune pass every ``every`` steps
         within [start, until).
-      grad_threshold: mean viewspace (screen-pixel) positional-gradient norm
-        above which a gaussian is densified.
+      grad_threshold: mean viewspace positional-gradient norm (NDC scale, the
+        3DGS convention — the pixel-space probe is rescaled by 0.5*W/H in
+        ``densify.accumulate``) above which a gaussian is densified.
+        Counting convention: the mean is over steps in which the gaussian
+        received ANY gradient ("seen"), which matches 3DGS's per-view
+        visibility counting when each step trains one view (the single-host
+        Trainer). Under data parallelism (ParallelTrainer, dp > 1) one step
+        folds the psum over the whole camera batch in as ONE sample — the
+        norm of the *summed* gradient, where cross-view components can
+        cancel or add — so avg_grad is not numerically comparable across dp
+        widths and ``grad_threshold`` may need recalibration when dp > 1.
       min_opacity: activated opacity below which a gaussian is pruned.
       percent_dense: scale cutoff (fraction of the camera extent) separating
         clone (small splat, under-reconstruction) from split (large splat,

@@ -3,19 +3,28 @@
 This replaces the reference's sequential per-gaussian Python loop
 (rasterize.py:440-452) with the tile-parallel formulation the original CUDA
 rasterizer uses — but with *static shapes throughout*, which is what XLA/TPU
-require (SURVEY.md §7 hard part #1). The recipe:
+require (SURVEY.md §7 hard part #1). The recipe (SORTLESS over gaussians —
+no O(N) depth sort anywhere):
 
-  1. Depth-sort gaussians (rasterize.py:424-425; ascending camera-z so tiles
-     composite front-to-back).
-  2. Each active gaussian covers ``count = ntx * nty`` tiles (from its pixel
+  1. Each active gaussian covers ``count = ntx * nty`` tiles (from its pixel
      bbox). Counts are dynamic, so the classic GPU "duplicate keys" expansion
-     is re-done with a fixed-capacity pair buffer: an exclusive cumsum gives
-     each gaussian's segment offset, a scatter-add of segment-start markers
-     followed by a cumsum recovers, for every pair slot, which gaussian it
-     belongs to — all O(P) with static shapes.
-  3. Pairs are generated in depth-major order, so a *stable* sort by tile id
-     yields, per tile, a contiguous depth-ordered gaussian list. Tile starts
-     come from a searchsorted over the sorted keys.
+     is re-done with a fixed-capacity pair buffer in *gaussian-id order*: an
+     exclusive cumsum gives each gaussian's segment offset, a scatter-max of
+     segment-start markers followed by a cummax recovers, for every pair
+     slot, which gaussian it belongs to — all O(P) with static shapes.
+  2. The reference's depth ordering (rasterize.py:424-425; ascending
+     camera-z so tiles composite front-to-back) is established by ONE stable
+     two-key ``lax.sort`` of the pair buffer by (tile, depth) — per tile,
+     a contiguous depth-ordered gaussian list, with (depth, id) ties
+     resolving to id order exactly like the reference's stable argsort.
+  3. The exact overflow policy (drop the *deepest whole gaussians*: the
+     maximal (depth, id)-lexicographic prefix of whole gaussians whose pairs
+     fit the capacity) needs only the boundary (depth, id) threshold — found
+     by a 63-step binary search over the monotone-uint32 depth encoding and
+     then the id space, each step one masked O(N) reduction. This is what
+     makes the whole pipeline sortless in N: a handful of O(N) streaming
+     passes instead of a multi-operand O(N log N) sort, and the only
+     replicated N-scale work a tile shard performs (parallel/shard.py).
 
 Overflow of the fixed capacity is reported (``pair_demand`` vs capacity)
 so callers can re-render with a doubled budget; truncation keeps the closest
@@ -47,7 +56,6 @@ class TileBinning(NamedTuple):
       pair_demand: scalar int32 — pairs the view wanted before any capacity
         clipping; ``pair_demand > capacity`` means the buffer overflowed and
         the deepest gaussians were dropped.
-      depth_order: ``[N]`` int32 — gaussian indices sorted by camera depth.
       gaussian_counts: ``[N]`` int32 — kept pairs per gaussian in *gaussian id*
         order (the backward's sort-based pair->gaussian gradient reduction
         derives its segment boundaries from this).
@@ -58,7 +66,6 @@ class TileBinning(NamedTuple):
     tile_count: jnp.ndarray
     num_pairs: jnp.ndarray
     pair_demand: jnp.ndarray
-    depth_order: jnp.ndarray
     gaussian_counts: jnp.ndarray
 
 
@@ -162,11 +169,13 @@ def bin_rects(
     point at the zero feature row, whose empty bbox contributes exactly
     nothing — so the kernels need no per-lane masking at all.
 
-    TPU cost model (profiled on v5e): XLA sorts are cheap; per-element
-    gathers/scatters at pair scale are the expensive primitives (~20 ns per
-    gathered element). The implementation therefore:
-      * carries values through ``lax.sort`` operands instead of gathering
-        after an argsort,
+    TPU cost model (profiled on v5e): XLA sorts are cheap but O(N log N)
+    with a per-operand cost; per-element gathers/scatters at pair scale are
+    the expensive primitives (~20 ns per gathered element). The
+    implementation therefore:
+      * never sorts the N gaussians at all — the exact overflow threshold
+        comes from a 63-step binary search of masked O(N) reductions, and
+        depth ordering rides the pair sort as a second key,
       * recovers each pair slot's owning gaussian with ONE row-gather of a
         packed ``[N, 8]`` int32 table (row gathers amortize the per-index
         cost over 32 bytes),
@@ -187,67 +196,89 @@ def bin_rects(
     n = depth.shape[0]
     num_tiles = n_tiles_x * n_tiles_y
     i32 = jnp.int32
+    u32 = jnp.uint32
 
     tx0, ty0, ntx, nty = rects
     counts = jnp.where(active, ntx * nty, 0).astype(i32)
-
-    # 1. Depth order (ascending camera z => front-to-back), carrying every
-    #    per-gaussian column through the ONE sort (no post-sort gathers).
     iota_n = jax.lax.broadcasted_iota(i32, (n, 1), 0).squeeze(-1)
-    depth_d, depth_order, counts_d, tx0_d, ty0_d, ntx_d = jax.lax.sort(
-        (depth, iota_n, counts, tx0, ty0, ntx), num_keys=1, is_stable=True
-    )
+    total = jnp.sum(counts)  # pair demand before any clipping
 
-    offsets = jnp.cumsum(counts_d) - counts_d  # exclusive prefix sum
-    total = offsets[-1] + counts_d[-1]
+    # 1. Exact overflow threshold, sortless. The kept set is the maximal
+    #    (depth, id)-lexicographic prefix of gaussians whose cumulative pair
+    #    count fits max_pairs — exactly what a stable depth sort + prefix
+    #    cumsum selects, found here WITHOUT the O(N) sort:
+    #      a) map f32 depth to its monotone uint32 encoding,
+    #      b) binary-search (32 masked-reduction steps) the deepest fully-
+    #         kept depth level,
+    #      c) binary-search (31 steps) the last kept id inside the single
+    #         partially-kept level at the boundary.
+    #    (depth, id) ties resolve to id order, matching the reference's
+    #    stable argsort (rasterize.py:424-425).
+    bits = jax.lax.bitcast_convert_type(depth.astype(jnp.float32), u32)
+    dkey = jnp.where(
+        (bits & u32(0x80000000)) != 0, ~bits, bits | u32(0x80000000)
+    )  # uint32, same order as the f32 depths
+    cap = jnp.int32(max_pairs)
 
-    # Overflow policy: a gaussian whose segment does not fully fit in the
-    # pair buffer is dropped entirely (deepest-first, so the closest splats
-    # win). This keeps the histogram below an exact description of the
-    # emitted multiset of pairs. `fits` is a prefix in depth order (offsets
-    # are monotone), so the kept set is exactly "lexicographically before
-    # the last fitting (depth, id)" — which gives kept pair counts in
-    # *gaussian id* order elementwise, with no scatter.
-    fits_d = offsets + counts_d <= max_pairs
-    keep_d = fits_d & (counts_d > 0)
-    k_fit = jnp.sum(fits_d.astype(i32))
-    last = jnp.maximum(k_fit - 1, 0)
-    thresh_depth = jax.lax.dynamic_index_in_dim(depth_d, last, keepdims=False)
-    thresh_id = jax.lax.dynamic_index_in_dim(depth_order, last, keepdims=False)
-    keep_id = (depth < thresh_depth) | (
-        (depth == thresh_depth) & (iota_n <= thresh_id)
-    )
-    keep_id &= k_fit > 0
-    gaussian_counts = jnp.where(keep_id, counts, 0)
+    def pairs_upto_depth(d):
+        return jnp.sum(jnp.where(dkey <= d, counts, 0))
+
+    def depth_bit(i, x):
+        cand = x | jnp.left_shift(u32(1), (31 - i).astype(u32))
+        return jnp.where(pairs_upto_depth(cand) <= cap, cand, x)
+
+    dfull = jax.lax.fori_loop(0, 32, depth_bit, u32(0))
+    full = (dkey <= dfull) & (pairs_upto_depth(dfull) <= cap)
+    budget = cap - jnp.sum(jnp.where(full, counts, 0))
+
+    boundary_candidates = jnp.logical_not(full) & (counts > 0)
+    dmin = jnp.min(jnp.where(boundary_candidates, dkey, u32(0xFFFFFFFF)))
+    at_boundary = boundary_candidates & (dkey == dmin)
+
+    def pairs_upto_id(hi):
+        return jnp.sum(jnp.where(at_boundary & (iota_n <= hi), counts, 0))
+
+    def id_bit(i, x):
+        cand = x | jnp.left_shift(i32(1), 30 - i)
+        return jnp.where(pairs_upto_id(cand) <= budget, cand, x)
+
+    ihi = jax.lax.fori_loop(0, 31, id_bit, i32(0))
+    partial = at_boundary & (iota_n <= ihi) & (pairs_upto_id(ihi) <= budget)
+
+    gaussian_counts = jnp.where(full | partial, counts, 0)  # id order
     num_pairs = jnp.sum(gaussian_counts).astype(i32)  # pairs actually emitted
 
-    # 2. Recover, for every pair slot, its owning gaussian's segment data:
-    #    scatter each kept segment's depth rank at its start offset,
-    #    propagate with cummax (ranks are monotone along the buffer), then
-    #    ONE row-gather of the packed per-rank table.
-    rank_iota = iota_n
+    # 2. Lay segments out in gaussian-id order and recover, for every pair
+    #    slot, its owning gaussian: scatter each non-empty segment's id at
+    #    its start offset, propagate with cummax (ids are monotone along the
+    #    buffer), then ONE row-gather of the packed per-gaussian table.
+    offsets = jnp.cumsum(gaussian_counts) - gaussian_counts  # exclusive
     markers = jnp.zeros((max_pairs,), dtype=i32)
-    starts = jnp.where(keep_d, offsets, max_pairs)  # drop empty/overflowed
-    markers = markers.at[starts].max(rank_iota, mode="drop")
-    pair_rank = jax.lax.cummax(markers)  # [max_pairs], depth rank per slot
+    starts = jnp.where(gaussian_counts > 0, offsets, max_pairs)
+    markers = markers.at[starts].max(iota_n, mode="drop")
+    pair_gid = jax.lax.cummax(markers)  # [max_pairs], gaussian id per slot
 
     table = jnp.stack(
-        [offsets, counts_d, tx0_d, ty0_d, ntx_d, depth_order,
-         keep_d.astype(i32), jnp.zeros((n,), i32)],
+        [offsets, gaussian_counts, tx0, ty0, ntx,
+         jax.lax.bitcast_convert_type(dkey, i32),
+         jnp.zeros((n,), i32), jnp.zeros((n,), i32)],
         axis=1,
     )  # [N, 8]
-    row = table[pair_rank]  # [max_pairs, 8]
+    row = table[pair_gid]  # [max_pairs, 8]
 
     slot = jax.lax.broadcasted_iota(i32, (max_pairs, 1), 0).squeeze(-1)
     local = slot - row[:, 0]
-    # Slots in dropped/empty segments inherit the previous scattered rank;
+    # Slots in dropped/empty segments inherit the previous scattered id;
     # their local index then falls outside that segment's count.
-    valid = (local >= 0) & (local < row[:, 1]) & (row[:, 6] > 0)
+    valid = (local >= 0) & (local < row[:, 1])
     w = jnp.maximum(row[:, 4], 1)
     tile_x = row[:, 2] + local % w
     tile_y = row[:, 3] + local // w
     tile_id = jnp.where(valid, tile_y * n_tiles_x + tile_x, num_tiles)
-    pair_val = jnp.where(valid, row[:, 5], n)
+    pair_val = jnp.where(valid, pair_gid, n)
+    pair_dkey = jnp.where(
+        valid, jax.lax.bitcast_convert_type(row[:, 5], u32), u32(0xFFFFFFFF)
+    )
 
     # 3. Per-tile pair counts via the MXU: rect coverage is separable, so
     #    counts2d = Y^T @ X with X/Y the per-axis 0/1 range masks (exact in
@@ -256,13 +287,12 @@ def bin_rects(
     ntyp = -(-n_tiles_y // 8) * 8
     txc = jax.lax.broadcasted_iota(i32, (1, ntxp), 1)
     tyc = jax.lax.broadcasted_iota(i32, (1, ntyp), 1)
-    keep_col = keep_d[:, None]
+    keep_col = (gaussian_counts > 0)[:, None]
     x_mask = (
-        (txc >= tx0_d[:, None]) & (txc < (tx0_d + ntx_d)[:, None]) & keep_col
+        (txc >= tx0[:, None]) & (txc < (tx0 + ntx)[:, None]) & keep_col
     ).astype(jnp.bfloat16)
-    nty_d = jnp.where(ntx_d > 0, counts_d // jnp.maximum(ntx_d, 1), 0)
     y_mask = (
-        (tyc >= ty0_d[:, None]) & (tyc < (ty0_d + nty_d)[:, None]) & keep_col
+        (tyc >= ty0[:, None]) & (tyc < (ty0 + nty)[:, None]) & keep_col
     ).astype(jnp.bfloat16)
     counts2d = jax.lax.dot_general(
         y_mask, x_mask,
@@ -274,8 +304,8 @@ def bin_rects(
     )
 
     # 4. Alignment pads as explicit sort keys: per tile, pad_t sentinel
-    #    pairs with that tile's key, appended AFTER the real pairs so the
-    #    stable sort places them at each segment's tail.
+    #    pairs with that tile's key and +inf depth, so the sort places them
+    #    at each segment's tail.
     if align > 1:
         aligned_count = -(-tile_count // align) * align
         pad_t = aligned_count - tile_count  # in [0, align)
@@ -284,15 +314,20 @@ def bin_rects(
         ptile = jax.lax.broadcasted_iota(i32, (num_tiles, align - 1), 0)
         pad_keys = jnp.where(pj < pad_t[:, None], ptile, num_tiles).reshape(padcap)
         keys = jnp.concatenate([tile_id, pad_keys])
+        dkeys = jnp.concatenate([pair_dkey, jnp.full((padcap,), u32(0xFFFFFFFF))])
         vals = jnp.concatenate([pair_val, jnp.full((padcap,), i32(n))])
     else:
         aligned_count = tile_count
         keys = tile_id
+        dkeys = pair_dkey
         vals = pair_val
 
-    # 5. ONE stable (key, value) sort; segments come out aligned and
-    #    depth-ordered by construction, so starts are just a cumsum.
-    _, pair_gaussian = jax.lax.sort((keys, vals), num_keys=1, is_stable=True)
+    # 5. ONE stable two-key (tile, depth) sort: per tile a contiguous
+    #    depth-ordered (front-to-back) gaussian list, aligned by
+    #    construction, so starts are just a cumsum. Stability resolves
+    #    (tile, depth) ties to buffer order == gaussian id order, exactly
+    #    the reference's stable depth sort semantics.
+    _, _, pair_gaussian = jax.lax.sort((keys, dkeys, vals), num_keys=2, is_stable=True)
     tile_start = (jnp.cumsum(aligned_count) - aligned_count).astype(i32)
 
     return TileBinning(
@@ -301,7 +336,6 @@ def bin_rects(
         tile_count=tile_count,
         num_pairs=num_pairs,
         pair_demand=total.astype(i32),
-        depth_order=depth_order,
         gaussian_counts=gaussian_counts,
     )
 
