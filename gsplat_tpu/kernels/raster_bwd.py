@@ -79,8 +79,11 @@ def _bwd_kernel(
     blk0 = start // blk
     nblocks = (count + blk - 1) // blk
     # Blocks the forward actually composited before early termination; the
-    # tail's gradient is exactly zero (those pairs never touched the output),
-    # so those blocks only write zero slabs — no feature DMA, no compute.
+    # tail's gradient is exactly zero (those pairs never touched the
+    # output), so the walk simply STOPS there — the tail's slab rows are
+    # never written, and the host-side reduction masks them out by the
+    # written interval (cheaper than ~300K zero-block DMAs per frame at
+    # real-scene density, where early stop skips ~95% of blocks).
     done = jnp.minimum(blocks_done_ref[t], nblocks)
 
     tx = tid % n_tiles_x
@@ -124,14 +127,7 @@ def _bwd_kernel(
         def _():
             put_dma(slot, b - 2).wait()
 
-        @pl.when(b < done)
-        def _():
-            compute_block(b, slot)
-
-        @pl.when(b >= done)
-        def _():
-            gslab[slot] = jnp.zeros((16, blk), jnp.float32)
-
+        compute_block(b, slot)
         put_dma(slot, b).start()
         return ()
 
@@ -258,16 +254,16 @@ def _bwd_kernel(
             axis=1,
         )  # [cs, 16] (FEAT_* lane order + padding)
 
-    jax.lax.fori_loop(0, nblocks, body, ())
+    jax.lax.fori_loop(0, done, body, ())
 
     # Drain outstanding write DMAs.
-    @pl.when(nblocks >= 2)
+    @pl.when(done >= 2)
     def _():
-        put_dma(jax.lax.rem(nblocks - 2, 2), nblocks - 2).wait()
+        put_dma(jax.lax.rem(done - 2, 2), done - 2).wait()
 
-    @pl.when(nblocks >= 1)
+    @pl.when(done >= 1)
     def _():
-        put_dma(jax.lax.rem(nblocks - 1, 2), nblocks - 1).wait()
+        put_dma(jax.lax.rem(done - 1, 2), done - 1).wait()
 
 
 @functools.partial(
@@ -400,34 +396,35 @@ def backward_tiles_pallas(
     )
     n = feat.shape[0] - 1
 
+    # Rows the kernel actually wrote: each tile's first blocks_done blocks.
+    # Everything else — the early-terminated tails AND (under tile sharding)
+    # tiles this call never rasterized — is uninitialized HBM *with real
+    # gaussian ids in pair_gaussian*; mask it to exact zero before reducing
+    # (the skipped pairs never touched the forward output, so zero is their
+    # exact gradient).
+    delta = jnp.zeros((p_pad + 1,), jnp.int32)
+    delta = delta.at[tile_start].add(1, mode="drop")
+    delta = delta.at[tile_start + blocks_done * blk].add(-1, mode="drop")
+    written = jnp.cumsum(delta[:-1]) > 0
+
     # Flat per-feature gradient columns: fixed-feature slices of the dense
     # block array ([nblk, 16, blk] -> [P] per feature) are cheap strided
     # reads; only the 9 live columns are touched.
     def grad_col(j):
-        return pair_grads[:, j, :].reshape(-1)
+        return jnp.where(written, pair_grads[:, j, :].reshape(-1), 0.0)
 
     if gaussian_counts is None or cfg.exact_grad_reduction:
-        # Exact per-row scatter-add. Only rows inside THIS call's tile
-        # segments were written by the kernel: under tile sharding each
-        # shard rasterizes an interleaved subset of tiles, and the rest of
-        # the grad buffer is uninitialized HBM *with real gaussian ids in
-        # pair_gaussian* — mask those rows out by interval before reducing.
-        aligned = -(-tile_count // blk) * blk
-        delta = jnp.zeros((p_pad + 1,), jnp.int32)
-        delta = delta.at[tile_start].add(1, mode="drop")
-        delta = delta.at[tile_start + aligned].add(-1, mode="drop")
-        written = jnp.cumsum(delta[:-1]) > 0
+        # Exact per-row scatter-add.
         valid_row = written & (idx != n)
         rows = jnp.stack([grad_col(j) for j in range(9)], axis=1)  # [P, 9]
-        masked = jnp.where(valid_row[:, None], rows, 0.0)
         d_feat = jax.ops.segment_sum(
-            masked, jnp.where(valid_row, idx, n), num_segments=feat.shape[0]
+            rows, jnp.where(valid_row, idx, n), num_segments=feat.shape[0]
         )
         return jnp.pad(d_feat, ((0, 0), (0, B.NUM_FEATURES - 9))).astype(feat.dtype)
 
-    # Sort-based reduction: sort the 9 gradient columns by gaussian id (the
-    # sentinel id N sorts last, so garbage in never-written rows stays past
-    # every real segment, where even a NaN cannot poison real prefixes),
+    # Sort-based reduction: sort the 9 gradient columns by gaussian id
+    # (unwritten rows carry exact-zero gradients after the mask, so they
+    # contribute nothing to their segment; the sentinel id N sorts last),
     # then difference a cumsum at segment ends. Boundaries come from
     # gaussian_counts, so the whole thing is sorts + elementwise — no
     # scatter. VALID ONLY when this call rasterizes every tile of the

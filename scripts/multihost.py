@@ -14,8 +14,8 @@ Three modes:
           python scripts/multihost.py --mode virtual --devices 1,2,4,8
 
 * ``--mode model`` (one real chip) — measure the sharded step's Amdahl
-  decomposition on real hardware: time the replicated per-step work (depth
-  sort + binning prologue over all N gaussians) and the per-shard work
+  decomposition on real hardware: time the replicated per-step work (the
+  sortless O(N) binning prologue over all N gaussians) and the per-shard work
   (preprocess of N/tp gaussians, binning + raster of the 1/tp strided tile
   subset) for each tp, then report projected step time, pixels/s/chip and
   scaling efficiency. This is the honest single-chip measurement vehicle
@@ -177,8 +177,8 @@ def model_mode(args):
         # Full-N preprocess output feeds binning (the gathered arrays).
         prep = prep_fn(model, cam) if tp > 1 else prep_l
 
-        # Per-shard binning: strided rects on the local grid. The depth
-        # sort + O(N) prologue inside bin_rects is the replicated part; the
+        # Per-shard binning: strided rects on the local grid. The O(N)
+        # sortless prologue inside bin_rects is the replicated part; the
         # pair-scale stages shrink with tp.
         def bin_shard(p):
             rects = binning.strided_tile_ranges(
@@ -192,15 +192,22 @@ def model_mode(args):
 
         t_bin, bins = timed(jax.jit(bin_shard), prep)
 
-        # Replicated-only part: the depth sort + count prologue, isolated.
-        def sort_only(p):
-            iota = jnp.arange(n, dtype=jnp.int32)
-            counts = jnp.where(p.active, 1, 0).astype(jnp.int32)
-            out = jax.lax.sort((p.depth, iota, counts, counts, counts, counts),
-                               num_keys=1, is_stable=True)
-            return out[1]
+        # Replicated-only part: the O(N) sortless prologue (elementwise
+        # rects/counts, the 63-step overflow binary search, the MXU
+        # histogram masks) — isolated by running the same binning with a
+        # near-zero pair capacity, which collapses every P-scale stage
+        # (markers, row gather, pair sort) to noise.
+        def prologue_only(p):
+            rects = binning.strided_tile_ranges(
+                p.cull_bbox, cfg.tile_size, lay.ntx_g, lay.nty_g,
+                lay.sx, lay.sy, 0, 0,
+            )
+            return binning.bin_rects(
+                p.depth, p.active, rects, lay.ntx_l, lay.nty_l,
+                cfg.pair_block, align=cfg.pair_block,
+            )
 
-        t_sort, _ = timed(jax.jit(sort_only), prep)
+        t_sort, _ = timed(jax.jit(prologue_only), prep)
 
         # Per-shard raster fwd+bwd over the local tiles.
         feat = jax.jit(binning.pack_features)(prep)
@@ -230,7 +237,7 @@ def model_mode(args):
         points.append({
             "devices": tp,
             "mesh": {"data": 1, "tile": tp},
-            "replicated_sort_sec": round(sort_net, 4),
+            "replicated_prologue_sec": round(sort_net, 4),
             "shard_prep_sec": round(net(t_prep), 4),
             "shard_bin_sec": round(max(t_bin - t_sort, 0.0), 4),
             "shard_fwd_sec": round(net(t_fwd), 4),

@@ -1,0 +1,153 @@
+"""Per-stage breakdown at real-MipNeRF-360 density (~5M gaussians, ~40M
+pairs at 1080p) on the current backend. Scene is generated ON DEVICE
+(host->device over the tunneled TPU is ~2 MB/s; a 1.2 GB host scene takes
+~12 minutes to ship). Not a test; a tuning tool.
+
+Usage: python scripts/profile_real.py [--n 5000000] [--shift 1.9] [--slack 1.05]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+
+from bench import WIDTH, HEIGHT, bench_camera
+from gsplat_tpu import RasterConfig
+from gsplat_tpu.models.gaussians import GaussianModel
+from gsplat_tpu.ops import binning
+from gsplat_tpu.ops.camera import CameraArrays
+from gsplat_tpu.render.pipeline import binning_stats, preprocess_traced, render_traced
+from gsplat_tpu.kernels.raster import _forward_impl, _backward_impl
+from gsplat_tpu.kernels.raster_fwd import build_pair_feat, forward_tiles_pallas
+from gsplat_tpu.train.loss import rgb_loss
+from timing import timed
+
+T0 = time.time()
+
+
+def log(msg):
+    print(f"[{time.time()-T0:7.1f}s] {msg}", flush=True)
+
+
+def device_scene(n: int, shift: float, seed: int = 0) -> GaussianModel:
+    """bench.build_scene's distributions, generated on device."""
+    ks = jax.random.split(jax.random.key(seed), 6)
+    z = jax.random.uniform(ks[0], (n,), minval=2.0, maxval=10.0)
+    x = jax.random.uniform(ks[1], (n,), minval=-0.9, maxval=0.9) * z
+    y = jax.random.uniform(ks[2], (n,), minval=-0.55, maxval=0.55) * z
+    return GaussianModel(
+        means=jnp.stack([x, y, z], -1),
+        log_scales=jax.random.uniform(ks[3], (n, 3), minval=-5.2, maxval=-3.6) + shift,
+        quats=jax.random.normal(ks[4], (n, 4)),
+        opacity_logits=jax.random.uniform(ks[5], (n,), minval=-2.0, maxval=2.0),
+        sh=jax.random.normal(jax.random.fold_in(ks[0], 1), (n, 48)).reshape(n, 16, 3) * 0.2,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=5_000_000)
+    ap.add_argument("--shift", type=float, default=1.9)
+    ap.add_argument("--slack", type=float, default=1.05)
+    ap.add_argument("--early-stop", type=float, default=1e-4)
+    args = ap.parse_args()
+
+    model = jax.jit(device_scene, static_argnums=(0,))(args.n, args.shift)
+    np.asarray(model.means.ravel()[:1])
+    log("device scene built")
+
+    cam = CameraArrays.from_params(bench_camera())
+    target = jnp.zeros((HEIGHT, WIDTH, 3), jnp.float32) + 0.25
+    probe = RasterConfig(tile_size=32, chunk_size=32, max_pairs=1 << 20)
+    demand = int(binning_stats(model, cam, WIDTH, HEIGHT, probe)["pair_demand"])
+    cap = int(demand * args.slack) // 128 * 128
+    log(f"demand={demand} ({demand/args.n:.2f} pairs/g) cap={cap}")
+
+    cfg = RasterConfig(
+        tile_size=32, chunk_size=32, max_pairs=cap,
+        early_stop_transmittance=args.early_stop,
+        use_pallas=jax.default_backend() == "tpu",
+    )
+    n_tiles_x = -(-WIDTH // cfg.tile_size)
+    n_tiles_y = -(-HEIGHT // cfg.tile_size)
+    tile_ids = jnp.arange(n_tiles_x * n_tiles_y, dtype=jnp.int32)
+
+    prep_fn = jax.jit(lambda m, c: preprocess_traced(m, c, WIDTH, HEIGHT, cfg))
+    t_prep, prep = timed(prep_fn, model, cam, iters=4)
+    log(f"preprocess      {t_prep*1e3:8.1f} ms")
+
+    bin_fn = jax.jit(
+        lambda p: binning.bin_gaussians(
+            p, WIDTH, HEIGHT, cfg.tile_size, cfg.max_pairs, align=cfg.pair_block
+        )
+    )
+    t_bin, bins = timed(bin_fn, prep, iters=4)
+    log(f"binning         {t_bin*1e3:8.1f} ms  (num_pairs {int(bins.num_pairs)})")
+
+    pack_fn = jax.jit(binning.pack_features)
+    t_pack, feat = timed(pack_fn, prep, iters=4)
+    log(f"pack_features   {t_pack*1e3:8.1f} ms")
+
+    gather_fn = jax.jit(lambda f, pg: build_pair_feat(f, pg, cfg.pair_block))
+    t_gather, pair_feat = timed(gather_fn, feat, bins.pair_gaussian, iters=4)
+    log(f"pair gather     {t_gather*1e3:8.1f} ms")
+
+    fwd_fn = jax.jit(
+        lambda f, pg, pf, ts, tc: forward_tiles_pallas(
+            f, pg, ts, tc, tile_ids, n_tiles_x, cfg, pair_feat=pf
+        )
+    )
+    t_fwd, (color, trans, blocks_done) = timed(
+        fwd_fn, feat, bins.pair_gaussian, pair_feat, bins.tile_start,
+        bins.tile_count, iters=4,
+    )
+    tot_blocks = int(jnp.sum(-(-bins.tile_count // cfg.pair_block)))
+    done_blocks = int(jnp.sum(blocks_done))
+    log(f"fwd kernel      {t_fwd*1e3:8.1f} ms  (blocks done {done_blocks}/{tot_blocks})")
+
+    g_color = jnp.ones_like(color) * 0.1
+    g_trans = jnp.zeros_like(trans)
+    bwd_fn = jax.jit(
+        lambda f, pg, ts, tc, c, t, gc, gt, bd, gcounts: _backward_impl(
+            f, pg, ts, tc, tile_ids, c, t, gc, gt, bd, gcounts, n_tiles_x, cfg,
+        )
+    )
+    t_bwd, _ = timed(
+        bwd_fn, feat, bins.pair_gaussian, bins.tile_start, bins.tile_count,
+        color, trans, g_color, g_trans, blocks_done, bins.gaussian_counts,
+        iters=4,
+    )
+    log(f"bwd kernel+reduce {t_bwd*1e3:6.1f} ms  (regathers pair_feat)")
+
+    # Reduction + zero-slab cost in isolation: blocks_done = 0 skips every
+    # block's compute but still writes the zero gradient slabs and runs the
+    # full sort-based reduction.
+    t_red, _ = timed(
+        bwd_fn, feat, bins.pair_gaussian, bins.tile_start, bins.tile_count,
+        color, trans, g_color, g_trans, jnp.zeros_like(blocks_done),
+        bins.gaussian_counts, iters=4,
+    )
+    log(f"  zero-walk (slab DMA + reduction + regather) {t_red*1e3:6.1f} ms")
+
+    @jax.jit
+    def fwd_bwd(m, cam, target):
+        def loss_fn(m):
+            image, _ = render_traced(m, cam, WIDTH, HEIGHT, cfg)
+            return rgb_loss(image, target, 0.2)
+        return jax.value_and_grad(loss_fn)(m)
+
+    t_all, (loss, _) = timed(fwd_bwd, model, cam, target, iters=4)
+    log(f"full fwd+bwd    {t_all*1e3:8.1f} ms = {1.0/t_all:.3f} fps (loss {float(loss):.4f})")
+
+
+if __name__ == "__main__":
+    main()
