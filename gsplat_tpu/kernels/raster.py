@@ -33,18 +33,22 @@ def _use_pallas(cfg: RasterConfig) -> bool:
     )
 
 
-def _forward_impl(feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles_x, cfg):
+def _forward_impl(feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles_x, cfg,
+                  pair_feat=None):
     """Returns (color, trans, blocks_done, pair_feat). ``blocks_done`` [T]
     int32 is how many feature blocks each tile composited before early
     termination (== all blocks for the jnp path / when early stop is off);
-    ``pair_feat`` is the gathered dense per-pair feature block array (None on
-    the jnp path), saved as a residual so the backward does not repeat the
-    multi-M-row gather (disable with ``cfg.share_pair_feat=False`` to trade
-    the gather back for peak-HBM headroom)."""
+    ``pair_feat`` is the dense per-pair feature block array (None on the jnp
+    path) — passed in when binning already produced it (the sort-carried
+    fused path, ops/binning.py), else gathered here — and saved as a
+    residual so the backward does not repeat the multi-M-row gather (disable
+    with ``cfg.share_pair_feat=False`` to trade the gather back for
+    peak-HBM headroom)."""
     if _use_pallas(cfg):
         from gsplat_tpu.kernels.raster_fwd import build_pair_feat, forward_tiles_pallas
 
-        pair_feat = build_pair_feat(feat, pair_gaussian, cfg.pair_block)
+        if pair_feat is None:
+            pair_feat = build_pair_feat(feat, pair_gaussian, cfg.pair_block)
         color, trans, blocks_done = forward_tiles_pallas(
             feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles_x,
             cfg, interpret=cfg.force_pallas_interpret, pair_feat=pair_feat,
@@ -82,7 +86,6 @@ def _backward_impl(
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def rasterize_tiles(
     feat: jnp.ndarray,
     pair_gaussian: jnp.ndarray,
@@ -92,6 +95,7 @@ def rasterize_tiles(
     gaussian_counts: jnp.ndarray,
     n_tiles_x: int,
     cfg: RasterConfig,
+    pair_feat_i32: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Composite binned gaussians into per-tile pixel slabs.
 
@@ -102,22 +106,53 @@ def rasterize_tiles(
       gaussian_counts: ``[N]`` kept pairs per gaussian in id order
         (binning); drives the backward's sort-based gradient reduction.
       n_tiles_x, cfg: static.
+      pair_feat_i32: optional ``[nblk, 16, pair_block]`` int32 — the dense
+        per-pair feature blocks bitcast to int32, when binning already
+        produced them via the fused sort-carried path (ops/binning.py
+        ``feat_rows=``). int32 so it is non-differentiable by construction:
+        its values are a pure re-layout of ``feat`` rows, and the backward
+        already routes the WHOLE feature gradient through ``d_feat`` (the
+        sort-based reduction is the exact adjoint of that re-layout) — an
+        f32 input here would double-count through the sort's autodiff.
     Returns:
       (color ``[T, npix, 3]``, transmittance ``[T, npix]``).
     """
+    if pair_feat_i32 is None:
+        pair_feat_i32 = jnp.zeros((0,), jnp.int32)  # absent sentinel
+    return _rasterize_tiles(
+        feat, pair_gaussian, tile_start, tile_count, tile_ids,
+        gaussian_counts, n_tiles_x, cfg, pair_feat_i32,
+    )
+
+
+def _bitcast_f32(pair_feat_i32):
+    if pair_feat_i32.size == 0:  # static shape: Python-level branch
+        return None
+    return jax.lax.bitcast_convert_type(pair_feat_i32, jnp.float32)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _rasterize_tiles(
+    feat, pair_gaussian, tile_start, tile_count, tile_ids, gaussian_counts,
+    n_tiles_x, cfg, pair_feat_i32,
+):
     color, trans, _, _ = _forward_impl(
-        feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles_x, cfg
+        feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles_x, cfg,
+        pair_feat=_bitcast_f32(pair_feat_i32),
     )
     return color, trans
 
 
-def _fwd(feat, pair_gaussian, tile_start, tile_count, tile_ids, gaussian_counts, n_tiles_x, cfg):
+def _fwd(feat, pair_gaussian, tile_start, tile_count, tile_ids, gaussian_counts,
+         n_tiles_x, cfg, pair_feat_i32):
     color, trans, blocks_done, pair_feat = _forward_impl(
-        feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles_x, cfg
+        feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles_x, cfg,
+        pair_feat=_bitcast_f32(pair_feat_i32),
     )
     residuals = (
         feat, pair_gaussian, tile_start, tile_count, tile_ids,
         gaussian_counts, color, trans, blocks_done, pair_feat,
+        jnp.zeros(pair_feat_i32.shape[:1], jnp.int32),  # shape token for the cotangent
     )
     return (color, trans), residuals
 
@@ -130,6 +165,7 @@ def _bwd(n_tiles_x, cfg, residuals, cotangents):
     (
         feat, pair_gaussian, tile_start, tile_count, tile_ids,
         gaussian_counts, color, trans, blocks_done, pair_feat,
+        pf_token,
     ) = residuals
     g_color, g_trans = cotangents
     d_feat = _backward_impl(
@@ -137,6 +173,11 @@ def _bwd(n_tiles_x, cfg, residuals, cotangents):
         color, trans, g_color, g_trans, blocks_done, gaussian_counts,
         n_tiles_x, cfg, pair_feat=pair_feat,
     )
+    if pf_token.shape[0] == 0:
+        pf_cotangent = np.zeros((0,), dtype=jax.dtypes.float0)
+    else:
+        nblk = pf_token.shape[0]
+        pf_cotangent = np.zeros((nblk, 16, cfg.pair_block), dtype=jax.dtypes.float0)
     return (
         d_feat,
         _int_zero_cotangent(pair_gaussian),
@@ -144,7 +185,8 @@ def _bwd(n_tiles_x, cfg, residuals, cotangents):
         _int_zero_cotangent(tile_count),
         _int_zero_cotangent(tile_ids),
         _int_zero_cotangent(gaussian_counts),
+        pf_cotangent,
     )
 
 
-rasterize_tiles.defvjp(_fwd, _bwd)
+_rasterize_tiles.defvjp(_fwd, _bwd)

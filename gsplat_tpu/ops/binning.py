@@ -129,18 +129,23 @@ def bin_gaussians(
     tile_size: int,
     max_pairs: int,
     align: int = 1,
+    feat_rows: jnp.ndarray | None = None,
 ) -> TileBinning:
     """Build per-tile depth-ordered gaussian lists for the whole frame
     (static shapes). See :func:`bin_rects` for the machinery; tile shards
     bin their own strided tile subset via :func:`strided_tile_ranges` +
-    :func:`bin_rects` instead (parallel/shard.py)."""
+    :func:`bin_rects` instead (parallel/shard.py). With ``feat_rows``
+    (``[N, 16]`` packed features) the per-pair feature blocks ride the pair
+    sort and ``(TileBinning, pair_feat)`` is returned — see
+    :func:`bin_rects`."""
     n_tiles_x = -(-width // tile_size)
     n_tiles_y = -(-height // tile_size)
     # Bin against the alpha-cull rect (subset of the reference bbox whose
     # excluded tiles provably contribute nothing; ops/projection.py).
     rects = tile_ranges(prep.cull_bbox, tile_size, n_tiles_x, n_tiles_y)
     return bin_rects(
-        prep.depth, prep.active, rects, n_tiles_x, n_tiles_y, max_pairs, align
+        prep.depth, prep.active, rects, n_tiles_x, n_tiles_y, max_pairs, align,
+        feat_rows=feat_rows,
     )
 
 
@@ -152,6 +157,7 @@ def bin_rects(
     n_tiles_y: int,
     max_pairs: int,
     align: int = 1,
+    feat_rows: jnp.ndarray | None = None,
 ) -> TileBinning:
     """Bin gaussians with explicit per-gaussian tile rects onto an
     ``n_tiles_x x n_tiles_y`` tile grid (static shapes).
@@ -192,6 +198,18 @@ def bin_rects(
 
     Returned ``pair_gaussian`` has length ``max_pairs + num_tiles*(align-1)``
     (real capacity plus the alignment-pad block).
+
+    With ``feat_rows`` (the ``[N, 16]`` packed per-gaussian raster features,
+    :func:`pack_feature_rows`) the 13 live feature columns RIDE the pair
+    sort as extra value operands and the function returns ``(TileBinning,
+    pair_feat)`` with ``pair_feat`` the dense column-major ``[nblk, 16,
+    align]`` feature block array the Pallas kernels stream (bitwise equal to
+    ``build_pair_feat(feat, pair_gaussian)``, raster_fwd.py). This fuses the
+    P-scale post-sort feature gather into binning: the features are fetched
+    once by the SAME ``[N, 24]`` row-gather that resolves each pair's
+    binning row (row gathers amortize the ~20 ns per-index latency over
+    bytes, so widening 8 -> 24 int32 columns is far cheaper than a second
+    P-row gather), and tile-depth ordering comes for free from the sort.
     """
     n = depth.shape[0]
     num_tiles = n_tiles_x * n_tiles_y
@@ -258,13 +276,24 @@ def bin_rects(
     markers = markers.at[starts].max(iota_n, mode="drop")
     pair_gid = jax.lax.cummax(markers)  # [max_pairs], gaussian id per slot
 
-    table = jnp.stack(
-        [offsets, gaussian_counts, tx0, ty0, ntx,
-         jax.lax.bitcast_convert_type(dkey, i32),
-         jnp.zeros((n,), i32), jnp.zeros((n,), i32)],
-        axis=1,
-    )  # [N, 8]
-    row = table[pair_gid]  # [max_pairs, 8]
+    base_cols = [offsets, gaussian_counts, tx0, ty0, ntx,
+                 jax.lax.bitcast_convert_type(dkey, i32)]
+    if feat_rows is None:
+        table = jnp.stack(
+            base_cols + [jnp.zeros((n,), i32), jnp.zeros((n,), i32)], axis=1
+        )  # [N, 8]
+    else:
+        # Widened table: the 13 live feature columns (bitcast) ride the same
+        # row gather, so the pair sort can carry them (NUM_LIVE_FEATURES).
+        fcols = jax.lax.bitcast_convert_type(
+            feat_rows[:, :NUM_LIVE_FEATURES].astype(jnp.float32), i32
+        )  # [N, 13]
+        table = jnp.concatenate(
+            [jnp.stack(base_cols, axis=1), fcols,
+             jnp.zeros((n, 24 - 6 - NUM_LIVE_FEATURES), i32)],
+            axis=1,
+        )  # [N, 24]
+    row = table[pair_gid]  # [max_pairs, 8 or 24]
 
     slot = jax.lax.broadcasted_iota(i32, (max_pairs, 1), 0).squeeze(-1)
     local = slot - row[:, 0]
@@ -279,6 +308,16 @@ def bin_rects(
     pair_dkey = jnp.where(
         valid, jax.lax.bitcast_convert_type(row[:, 5], u32), u32(0xFFFFFFFF)
     )
+    if feat_rows is not None:
+        # Invalid slots carry the zero feature row (empty bbox — exactly the
+        # sentinel row the gather-based path reads, raster_fwd.py).
+        pair_feats = jnp.where(
+            valid[:, None],
+            jax.lax.bitcast_convert_type(
+                row[:, 6 : 6 + NUM_LIVE_FEATURES], jnp.float32
+            ),
+            0.0,
+        )  # [max_pairs, 13]
 
     # 3. Per-tile pair counts via the MXU: rect coverage is separable, so
     #    counts2d = Y^T @ X with X/Y the per-axis 0/1 range masks (exact in
@@ -317,6 +356,7 @@ def bin_rects(
         dkeys = jnp.concatenate([pair_dkey, jnp.full((padcap,), u32(0xFFFFFFFF))])
         vals = jnp.concatenate([pair_val, jnp.full((padcap,), i32(n))])
     else:
+        padcap = 0
         aligned_count = tile_count
         keys = tile_id
         dkeys = pair_dkey
@@ -326,11 +366,24 @@ def bin_rects(
     #    depth-ordered (front-to-back) gaussian list, aligned by
     #    construction, so starts are just a cumsum. Stability resolves
     #    (tile, depth) ties to buffer order == gaussian id order, exactly
-    #    the reference's stable depth sort semantics.
-    _, _, pair_gaussian = jax.lax.sort((keys, dkeys, vals), num_keys=2, is_stable=True)
+    #    the reference's stable depth sort semantics. With feat_rows the 13
+    #    feature columns ride as value operands (alignment pads carry the
+    #    zero feature row), so the sorted feature columns ARE the kernels'
+    #    dense pair slab — no post-sort P-row gather.
+    f_ops = ()
+    if feat_rows is not None:
+        zpad = jnp.zeros((padcap,), jnp.float32)
+        f_ops = tuple(
+            jnp.concatenate([pair_feats[:, j], zpad])
+            for j in range(NUM_LIVE_FEATURES)
+        )
+    sorted_ops = jax.lax.sort(
+        (keys, dkeys, vals) + f_ops, num_keys=2, is_stable=True
+    )
+    pair_gaussian = sorted_ops[2]
     tile_start = (jnp.cumsum(aligned_count) - aligned_count).astype(i32)
 
-    return TileBinning(
+    tb = TileBinning(
         pair_gaussian=pair_gaussian.astype(i32),
         tile_start=tile_start,
         tile_count=tile_count,
@@ -338,9 +391,23 @@ def bin_rects(
         pair_demand=total.astype(i32),
         gaussian_counts=gaussian_counts,
     )
+    if feat_rows is None:
+        return tb
+
+    # Pack the sorted feature columns into the kernels' dense column-major
+    # [nblk, 16, align] block layout (trailing slots past the buffer end
+    # hold the zero sentinel row, so kernels DMA whole blocks).
+    p_buf = max_pairs + padcap
+    nblk = -(-p_buf // align)
+    tail = nblk * align - p_buf
+    cols = [jnp.pad(c, (0, tail)).reshape(nblk, align) for c in sorted_ops[3:]]
+    cols += [jnp.zeros((nblk, align), jnp.float32)] * (NUM_FEATURES - NUM_LIVE_FEATURES)
+    pair_feat = jnp.stack(cols, axis=1)  # [nblk, 16, align]
+    return tb, pair_feat
 
 
 NUM_FEATURES = 16
+NUM_LIVE_FEATURES = 13  # columns 0-12 carry data; 13-15 are lane padding
 # Feature column layout for the packed raster-feature array.
 FEAT_MEAN_X, FEAT_MEAN_Y = 0, 1
 FEAT_CONIC_X, FEAT_CONIC_Y, FEAT_CONIC_XY = 2, 3, 4

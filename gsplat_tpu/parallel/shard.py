@@ -37,7 +37,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from gsplat_tpu.config import RasterConfig, TrainConfig
-from gsplat_tpu.kernels.raster import rasterize_tiles
+from gsplat_tpu.kernels.raster import _use_pallas, rasterize_tiles
 from gsplat_tpu.models.gaussians import GaussianModel, pad_model as _pad_model
 from gsplat_tpu.ops import binning
 from gsplat_tpu.ops.camera import CameraArrays
@@ -144,17 +144,30 @@ def _shard_bin(
     rects = binning.strided_tile_ranges(
         cull_bbox, cfg.tile_size, lay.ntx_g, lay.nty_g, lay.sx, lay.sy, ox, oy
     )
-    bins = binning.bin_rects(
-        depth, active, rects, lay.ntx_l, lay.nty_l, cfg.max_pairs,
-        align=cfg.pair_block,
-    )
+    if _use_pallas(cfg):
+        # Fused sort-carried pair slab (see render/pipeline.py): binning
+        # emits this shard's dense feature blocks directly.
+        bins, pair_feat = binning.bin_rects(
+            depth, active, rects, lay.ntx_l, lay.nty_l, cfg.max_pairs,
+            align=cfg.pair_block,
+            feat_rows=jax.lax.stop_gradient(feat_rows),
+        )
+        pair_feat_i32 = jnp.asarray(
+            jax.lax.bitcast_convert_type(pair_feat, jnp.int32)
+        )
+    else:
+        bins = binning.bin_rects(
+            depth, active, rects, lay.ntx_l, lay.nty_l, cfg.max_pairs,
+            align=cfg.pair_block,
+        )
+        pair_feat_i32 = None
     feat = jnp.concatenate(
         [feat_rows, jnp.zeros((1, feat_rows.shape[1]), feat_rows.dtype)], axis=0
     )
 
     li = jnp.arange(lay.tiles_local, dtype=jnp.int32)
     tile_ids = (oy + (li // lay.ntx_l) * lay.sy) * lay.ntx_g + ox + (li % lay.ntx_l) * lay.sx
-    return feat, bins, tile_ids
+    return feat, bins, tile_ids, pair_feat_i32
 
 
 def _shard_render_tiles(
@@ -170,12 +183,13 @@ def _shard_render_tiles(
     """One shard's render (see :func:`_shard_bin`): bin this device's strided
     tile subset, then rasterize it. Returns (color [T_l, npix, 3],
     trans [T_l, npix])."""
-    feat, bins, tile_ids = _shard_bin(
+    feat, bins, tile_ids, pair_feat_i32 = _shard_bin(
         model_p, cam, lay, width, height, cfg, n_local, screen_offset
     )
     color, trans = rasterize_tiles(
         feat, bins.pair_gaussian, bins.tile_start, bins.tile_count,
         tile_ids, bins.gaussian_counts, lay.ntx_g, cfg,
+        pair_feat_i32=pair_feat_i32,
     )
     return color, trans
 
@@ -202,7 +216,7 @@ def make_sharded_binning_stats(
         model_p = _pad_model(model, n_local * tp)
 
         def shard_fn(m, c):
-            _, bins, _ = _shard_bin(m, c, lay, width, height, cfg, n_local)
+            bins = _shard_bin(m, c, lay, width, height, cfg, n_local)[1]
             return (
                 jax.lax.pmax(bins.pair_demand, axes),
                 jax.lax.pmax(bins.num_pairs, axes),

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from gsplat_tpu.config import RasterConfig
-from gsplat_tpu.kernels.raster import rasterize_tiles
+from gsplat_tpu.kernels.raster import _use_pallas, rasterize_tiles
 from gsplat_tpu.models.gaussians import GaussianModel
 from gsplat_tpu.ops import binning
 from gsplat_tpu.ops.camera import CameraArrays, CameraParams
@@ -92,16 +92,32 @@ def render_traced(
     differentiates w.r.t. an all-zero offset to read viewspace gradients.
     """
     prep = preprocess_traced(model, cam, width, height, cfg, screen_offset)
-    bins = binning.bin_gaussians(
-        prep, width, height, cfg.tile_size, cfg.max_pairs, align=cfg.pair_block
-    )
     feat = binning.pack_features(prep)
+    if _use_pallas(cfg):
+        # Fused path: the 13 feature columns ride the pair sort, so binning
+        # emits the kernels' dense pair slab directly — no post-sort P-row
+        # gather. stop_gradient + int32 bitcast: the slab is a pure
+        # re-layout of feat rows whose gradient the rasterizer's reduction
+        # already routes through d_feat (kernels/raster.py).
+        bins, pair_feat = binning.bin_gaussians(
+            prep, width, height, cfg.tile_size, cfg.max_pairs,
+            align=cfg.pair_block,
+            feat_rows=jax.lax.stop_gradient(feat[:-1]),
+        )
+        pair_feat_i32 = jax.lax.bitcast_convert_type(pair_feat, jnp.int32)
+    else:
+        bins = binning.bin_gaussians(
+            prep, width, height, cfg.tile_size, cfg.max_pairs,
+            align=cfg.pair_block,
+        )
+        pair_feat_i32 = None
     n_tiles_x = -(-width // cfg.tile_size)
     n_tiles_y = -(-height // cfg.tile_size)
     tile_ids = jnp.arange(n_tiles_x * n_tiles_y, dtype=jnp.int32)
     color, trans = rasterize_tiles(
         feat, bins.pair_gaussian, bins.tile_start, bins.tile_count,
         tile_ids, bins.gaussian_counts, n_tiles_x, cfg,
+        pair_feat_i32=pair_feat_i32,
     )
     return (
         tiles_to_image(color, width, height, cfg.tile_size),

@@ -231,3 +231,40 @@ def test_binning_fuzz_random_scenes():
                         continue
                     got = pg[starts[l] : starts[l] + counts[l]].tolist()
                     assert got == want[ty * ntx + tx], (seed, ox, oy, l)
+
+
+def test_fused_pair_feat_matches_gather():
+    """The sort-carried pair slab (``feat_rows=``) must equal
+    ``build_pair_feat(feat, pair_gaussian)`` bitwise — same values, same
+    block layout, zero rows for sentinels/pads — across random scenes,
+    alignments and overflowing capacities."""
+    from gsplat_tpu.kernels.raster_fwd import build_pair_feat
+
+    for seed in range(4):
+        rng = np.random.default_rng(300 + seed)
+        n = int(rng.integers(20, 120))
+        means = rng.uniform(-8, 72, (n, 2))
+        radii = rng.uniform(0, 16, n)
+        depths = np.round(rng.uniform(1, 5, n), 1)
+        active = rng.uniform(size=n) < 0.8
+        prep = Preprocessed(
+            screen_means=jnp.asarray(means, jnp.float32),
+            conics=jnp.asarray(rng.normal(size=(n, 3)), jnp.float32),
+            rgb=jnp.asarray(rng.uniform(size=(n, 3)), jnp.float32),
+            opacity=jnp.asarray(rng.uniform(size=n), jnp.float32),
+            depth=jnp.asarray(depths, jnp.float32),
+            bbox=make_prep(means, radii, depths).bbox,
+            cull_bbox=make_prep(means, radii, depths).bbox,
+            active=jnp.asarray(active),
+        )
+        feat = binning.pack_features(prep)
+        align = int(rng.choice([4, 8]))
+        cap = int(rng.choice([1 << 6, 1 << 10]))  # small cap: overflow case
+        bins, pair_feat = binning.bin_gaussians(
+            prep, 64, 64, 16, cap, align=align, feat_rows=feat[:-1]
+        )
+        ref = build_pair_feat(feat, bins.pair_gaussian, align)
+        assert pair_feat.shape == ref.shape
+        np.testing.assert_array_equal(
+            np.asarray(pair_feat), np.asarray(ref), err_msg=str(seed)
+        )
