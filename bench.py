@@ -153,11 +153,12 @@ def synthetic_bench(args):
     from gsplat_tpu import RasterConfig
     from gsplat_tpu.ops.camera import CameraArrays
 
-    def make_cfg(max_pairs, early_stop):
+    def make_cfg(max_pairs, early_stop, reduce_pairs=0):
         return RasterConfig(
             tile_size=32, chunk_size=32, max_pairs=max_pairs,
             early_stop_transmittance=early_stop, strict_parity=True,
             use_pallas=jax.default_backend() == "tpu",
+            reduce_pairs=reduce_pairs,
         )
 
     camera = bench_camera()
@@ -224,7 +225,9 @@ def synthetic_bench(args):
         m = build_scene(REAL_DENSITY_N, REAL_DENSITY_SHIFT)
         try:
             cap, dem = sized_capacity(m, cam, headroom=1.1)
-            c = make_cfg(cap, 1e-4)
+            # Early-stop mode composites only a few percent of the blocks at
+            # this density; the compacted reduction runs at that scale.
+            c = make_cfg(cap, 1e-4, reduce_pairs=cap // 4)
             el, _ = time_fwd_bwd(m, cam, target, c, iters=4)
             el_exact, _ = time_fwd_bwd(m, cam, target, make_cfg(cap, 0.0), iters=4)
             extra["real_density"] = {

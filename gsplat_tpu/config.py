@@ -62,6 +62,16 @@ class RasterConfig:
     # segment_sum; False: sort + cumsum-difference reduction (~5x faster,
     # reorders f32 additions — ~1e-5 relative noise on the gradient scale).
     exact_grad_reduction: bool = False
+    # Pair capacity of the COMPACTED gradient reduction (0 = off). With
+    # early termination at real-scene density the forward composites only a
+    # few percent of the pair blocks; the backward then gathers just the
+    # written blocks (block-granular row gathers — cheap) into a buffer of
+    # this many pairs and runs the sort-based reduction at that scale
+    # instead of over the whole pair buffer. Exact: if a frame's composited
+    # pairs exceed the capacity, a lax.cond falls back to the full-buffer
+    # reduction. Sized like max_pairs (pair_block-aligned); worthwhile at
+    # ~<=1/4 of max_pairs.
+    reduce_pairs: int = 0
     # True: the forward's gathered pair-feature blocks are kept as a
     # residual and reused by the backward (saves the multi-M-row gather).
     # False: the backward regathers them — lower peak HBM residency across

@@ -402,47 +402,109 @@ def backward_tiles_pallas(
     # gaussian ids in pair_gaussian*; mask it to exact zero before reducing
     # (the skipped pairs never touched the forward output, so zero is their
     # exact gradient).
-    delta = jnp.zeros((p_pad + 1,), jnp.int32)
-    delta = delta.at[tile_start].add(1, mode="drop")
-    delta = delta.at[tile_start + blocks_done * blk].add(-1, mode="drop")
-    written = jnp.cumsum(delta[:-1]) > 0
-
-    # Flat per-feature gradient columns: fixed-feature slices of the dense
-    # block array ([nblk, 16, blk] -> [P] per feature) are cheap strided
-    # reads; only the 9 live columns are touched.
-    def grad_col(j):
-        return jnp.where(written, pair_grads[:, j, :].reshape(-1), 0.0)
+    def written_mask():
+        delta = jnp.zeros((p_pad + 1,), jnp.int32)
+        delta = delta.at[tile_start].add(1, mode="drop")
+        delta = delta.at[tile_start + blocks_done * blk].add(-1, mode="drop")
+        return jnp.cumsum(delta[:-1]) > 0
 
     if gaussian_counts is None or cfg.exact_grad_reduction:
         # Exact per-row scatter-add.
+        written = written_mask()
         valid_row = written & (idx != n)
-        rows = jnp.stack([grad_col(j) for j in range(9)], axis=1)  # [P, 9]
+        rows = jnp.stack(
+            [
+                jnp.where(written, pair_grads[:, j, :].reshape(-1), 0.0)
+                for j in range(9)
+            ],
+            axis=1,
+        )  # [P, 9]
         d_feat = jax.ops.segment_sum(
             rows, jnp.where(valid_row, idx, n), num_segments=feat.shape[0]
         )
         return jnp.pad(d_feat, ((0, 0), (0, B.NUM_FEATURES - 9))).astype(feat.dtype)
 
-    # Sort-based reduction: sort the 9 gradient columns by gaussian id
-    # (unwritten rows carry exact-zero gradients after the mask, so they
-    # contribute nothing to their segment; the sentinel id N sorts last),
-    # then difference a cumsum at segment ends. Boundaries come from
-    # gaussian_counts, so the whole thing is sorts + elementwise — no
-    # scatter. VALID ONLY when this call rasterizes every tile of the
-    # binning that produced pair_gaussian (segments cover the buffer from
-    # slot 0 and gaussian_counts describes exactly this call's pairs).
-    # Tile shards satisfy this by binning their own strided tile subset
-    # (parallel/shard.py), so this fast path is live under sharding too.
-    cols = [grad_col(j) for j in range(9)]
-    sorted_ops = jax.lax.sort((idx, *cols), num_keys=1, is_stable=False)
-    # Cumsum each column FLAT: a [P, 9] array tiles to 128 lanes on TPU
-    # (14x pad), so a 2D cumsum's log-passes stream ~1 GB each; flat [P]
-    # columns scan dense. Only the final stack materializes [P, 9] once,
-    # for the row-gather at segment ends.
-    cum9 = jnp.stack([jnp.cumsum(c) for c in sorted_ops[1:]], axis=1)
-    ends = jnp.cumsum(gaussian_counts)
-    at = jnp.maximum(ends - 1, 0)
-    gathered = jnp.where((ends > 0)[:, None], cum9[at], 0.0)
-    prev = jnp.concatenate([jnp.zeros((1, 9), f32), gathered[:-1]], axis=0)
-    sums = gathered - prev  # [N, 9] in gaussian id order
-    d_feat = jnp.pad(sums, ((0, 1), (0, B.NUM_FEATURES - 9)))
-    return d_feat.astype(feat.dtype)
+    def full_reduction():
+        # Sort-based reduction: sort the 9 gradient columns by gaussian id
+        # (unwritten rows carry exact-zero gradients after the mask, so they
+        # contribute nothing to their segment; the sentinel id N sorts
+        # last), then difference a cumsum at segment ends. Boundaries come
+        # from gaussian_counts, so the whole thing is sorts + elementwise —
+        # no scatter. VALID ONLY when this call rasterizes every tile of the
+        # binning that produced pair_gaussian (segments cover the buffer
+        # from slot 0 and gaussian_counts describes exactly this call's
+        # pairs). Tile shards satisfy this by binning their own strided
+        # tile subset (parallel/shard.py), so this fast path is live under
+        # sharding too.
+        written = written_mask()
+        cols = [
+            jnp.where(written, pair_grads[:, j, :].reshape(-1), 0.0)
+            for j in range(9)
+        ]
+        sorted_ops = jax.lax.sort((idx, *cols), num_keys=1, is_stable=False)
+        # Cumsum each column FLAT: a [P, 9] array tiles to 128 lanes on TPU
+        # (14x pad), so a 2D cumsum's log-passes stream ~1 GB each; flat [P]
+        # columns scan dense. Only the final stack materializes [P, 9] once,
+        # for the row-gather at segment ends.
+        cum9 = jnp.stack([jnp.cumsum(c) for c in sorted_ops[1:]], axis=1)
+        ends = jnp.cumsum(gaussian_counts)
+        at = jnp.maximum(ends - 1, 0)
+        gathered = jnp.where((ends > 0)[:, None], cum9[at], 0.0)
+        prev = jnp.concatenate([jnp.zeros((1, 9), f32), gathered[:-1]], axis=0)
+        sums = gathered - prev  # [N, 9] in gaussian id order
+        return jnp.pad(sums, ((0, 1), (0, B.NUM_FEATURES - 9))).astype(feat.dtype)
+
+    cap_blk = max(cfg.reduce_pairs // blk, 1)
+    if cfg.reduce_pairs <= 0 or cap_blk >= nblk_out:
+        return full_reduction()
+
+    def compact_reduction():
+        # Compacted reduction: with early termination at real-scene density
+        # the kernel writes only a few percent of the blocks (each tile's
+        # first blocks_done). Gather JUST those — block-granular row
+        # gathers amortize the per-index cost over 64*pair_block bytes —
+        # into a [cap_blk * pair_block]-pair buffer, and run the same
+        # sort+cumsum reduction at that scale. Segment boundaries can no
+        # longer come from gaussian_counts (the compact buffer holds a
+        # subset of each gaussian's pairs), so each gaussian's segment end
+        # is recovered with one scatter-max of positions by id and an
+        # exclusive cummax for the previous end.
+        i32 = jnp.int32
+        done = blocks_done
+        out_off = jnp.cumsum(done) - done  # [T] compact block offsets
+        total_blk = jnp.sum(done)
+        slot = jnp.arange(cap_blk, dtype=i32)
+        t_iota = jnp.arange(num_tiles, dtype=i32)
+        mark = jnp.zeros((cap_blk,), i32).at[
+            jnp.where(done > 0, out_off, cap_blk)
+        ].max(t_iota, mode="drop")
+        tile_of = jax.lax.cummax(mark)  # owning tile per compact slot
+        src_blk = tile_start[tile_of] // blk + (slot - out_off[tile_of])
+        valid_slot = slot < total_blk
+        src_blk = jnp.where(valid_slot, src_blk, 0)
+        gblocks = jnp.where(
+            valid_slot[:, None, None], pair_grads[src_blk], 0.0
+        )  # [cap_blk, 16, blk]
+        ids_blk = idx.reshape(nblk_out, blk)[src_blk]  # [cap_blk, blk]
+        ids_c = jnp.where(valid_slot[:, None], ids_blk, n).reshape(-1)
+        cols_c = [gblocks[:, j, :].reshape(-1) for j in range(9)]
+        sorted_c = jax.lax.sort((ids_c, *cols_c), num_keys=1, is_stable=False)
+        cum9 = jnp.stack([jnp.cumsum(c) for c in sorted_c[1:]], axis=1)
+        c_total = cap_blk * blk
+        lastpos = jnp.full((feat.shape[0],), -1, i32).at[sorted_c[0]].max(
+            jnp.arange(c_total, dtype=i32), mode="drop"
+        )
+        prev_end = jnp.concatenate(
+            [jnp.full((1,), -1, i32), jax.lax.cummax(lastpos)[:-1]]
+        )
+        have = lastpos >= 0
+        g_at = cum9[jnp.maximum(lastpos, 0)]
+        g_prev = jnp.where(
+            (prev_end >= 0)[:, None], cum9[jnp.maximum(prev_end, 0)], 0.0
+        )
+        sums = jnp.where(have[:, None], g_at - g_prev, 0.0)  # [N+1, 9]
+        return jnp.pad(sums, ((0, 0), (0, B.NUM_FEATURES - 9))).astype(feat.dtype)
+
+    return jax.lax.cond(
+        jnp.sum(blocks_done) <= cap_blk, compact_reduction, full_reduction
+    )

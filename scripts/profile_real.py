@@ -9,7 +9,6 @@ Usage: python scripts/profile_real.py [--n 5000000] [--shift 1.9] [--slack 1.05]
 from __future__ import annotations
 
 import argparse
-import math
 import sys
 import time
 
@@ -26,7 +25,7 @@ from gsplat_tpu.models.gaussians import GaussianModel
 from gsplat_tpu.ops import binning
 from gsplat_tpu.ops.camera import CameraArrays
 from gsplat_tpu.render.pipeline import binning_stats, preprocess_traced, render_traced
-from gsplat_tpu.kernels.raster import _forward_impl, _backward_impl
+from gsplat_tpu.kernels.raster import _backward_impl
 from gsplat_tpu.kernels.raster_fwd import build_pair_feat, forward_tiles_pallas
 from gsplat_tpu.train.loss import rgb_loss
 from timing import timed
@@ -59,7 +58,9 @@ def main():
     ap.add_argument("--shift", type=float, default=1.9)
     ap.add_argument("--slack", type=float, default=1.05)
     ap.add_argument("--early-stop", type=float, default=1e-4)
+    ap.add_argument("--iters", type=int, default=4)
     args = ap.parse_args()
+    it = args.iters
 
     model = jax.jit(device_scene, static_argnums=(0,))(args.n, args.shift)
     np.asarray(model.means.ravel()[:1])
@@ -76,30 +77,41 @@ def main():
         tile_size=32, chunk_size=32, max_pairs=cap,
         early_stop_transmittance=args.early_stop,
         use_pallas=jax.default_backend() == "tpu",
+        reduce_pairs=cap // 4,
     )
     n_tiles_x = -(-WIDTH // cfg.tile_size)
     n_tiles_y = -(-HEIGHT // cfg.tile_size)
     tile_ids = jnp.arange(n_tiles_x * n_tiles_y, dtype=jnp.int32)
 
     prep_fn = jax.jit(lambda m, c: preprocess_traced(m, c, WIDTH, HEIGHT, cfg))
-    t_prep, prep = timed(prep_fn, model, cam, iters=4)
+    t_prep, prep = timed(prep_fn, model, cam, iters=it)
     log(f"preprocess      {t_prep*1e3:8.1f} ms")
 
+    pack_fn = jax.jit(binning.pack_features)
+    t_pack, feat = timed(pack_fn, prep, iters=it)
+    log(f"pack_features   {t_pack*1e3:8.1f} ms")
+
+    # Fused binning: features ride the pair sort, slab comes out.
+    fused_fn = jax.jit(
+        lambda p, f: binning.bin_gaussians(
+            p, WIDTH, HEIGHT, cfg.tile_size, cfg.max_pairs,
+            align=cfg.pair_block, feat_rows=f,
+        )
+    )
+    t_fused, (bins, pair_feat) = timed(fused_fn, prep, feat[:-1], iters=it)
+    log(f"fused binning   {t_fused*1e3:8.1f} ms  (num_pairs {int(bins.num_pairs)})")
+
+    # Unfused reference: plain binning + the P-row feature gather.
     bin_fn = jax.jit(
         lambda p: binning.bin_gaussians(
             p, WIDTH, HEIGHT, cfg.tile_size, cfg.max_pairs, align=cfg.pair_block
         )
     )
-    t_bin, bins = timed(bin_fn, prep, iters=4)
-    log(f"binning         {t_bin*1e3:8.1f} ms  (num_pairs {int(bins.num_pairs)})")
-
-    pack_fn = jax.jit(binning.pack_features)
-    t_pack, feat = timed(pack_fn, prep, iters=4)
-    log(f"pack_features   {t_pack*1e3:8.1f} ms")
-
+    t_bin, _ = timed(bin_fn, prep, iters=it)
+    log(f"  plain binning {t_bin*1e3:8.1f} ms")
     gather_fn = jax.jit(lambda f, pg: build_pair_feat(f, pg, cfg.pair_block))
-    t_gather, pair_feat = timed(gather_fn, feat, bins.pair_gaussian, iters=4)
-    log(f"pair gather     {t_gather*1e3:8.1f} ms")
+    t_gather, _ = timed(gather_fn, feat, bins.pair_gaussian, iters=it)
+    log(f"  + pair gather {t_gather*1e3:8.1f} ms")
 
     fwd_fn = jax.jit(
         lambda f, pg, pf, ts, tc: forward_tiles_pallas(
@@ -108,7 +120,7 @@ def main():
     )
     t_fwd, (color, trans, blocks_done) = timed(
         fwd_fn, feat, bins.pair_gaussian, pair_feat, bins.tile_start,
-        bins.tile_count, iters=4,
+        bins.tile_count, iters=it,
     )
     tot_blocks = int(jnp.sum(-(-bins.tile_count // cfg.pair_block)))
     done_blocks = int(jnp.sum(blocks_done))
@@ -116,27 +128,28 @@ def main():
 
     g_color = jnp.ones_like(color) * 0.1
     g_trans = jnp.zeros_like(trans)
-    bwd_fn = jax.jit(
-        lambda f, pg, ts, tc, c, t, gc, gt, bd, gcounts: _backward_impl(
-            f, pg, ts, tc, tile_ids, c, t, gc, gt, bd, gcounts, n_tiles_x, cfg,
-        )
-    )
-    t_bwd, _ = timed(
-        bwd_fn, feat, bins.pair_gaussian, bins.tile_start, bins.tile_count,
-        color, trans, g_color, g_trans, blocks_done, bins.gaussian_counts,
-        iters=4,
-    )
-    log(f"bwd kernel+reduce {t_bwd*1e3:6.1f} ms  (regathers pair_feat)")
 
-    # Reduction + zero-slab cost in isolation: blocks_done = 0 skips every
-    # block's compute but still writes the zero gradient slabs and runs the
-    # full sort-based reduction.
-    t_red, _ = timed(
-        bwd_fn, feat, bins.pair_gaussian, bins.tile_start, bins.tile_count,
-        color, trans, g_color, g_trans, jnp.zeros_like(blocks_done),
-        bins.gaussian_counts, iters=4,
-    )
-    log(f"  zero-walk (slab DMA + reduction + regather) {t_red*1e3:6.1f} ms")
+    def bwd(c: RasterConfig):
+        fn = jax.jit(
+            lambda f, pg, pf, ts, tc, col, tr, gc, gt, bd, gcounts: _backward_impl(
+                f, pg, ts, tc, tile_ids, col, tr, gc, gt, bd, gcounts,
+                n_tiles_x, c, pair_feat=pf,
+            )
+        )
+        return timed(
+            fn, feat, bins.pair_gaussian, pair_feat, bins.tile_start,
+            bins.tile_count, color, trans, g_color, g_trans, blocks_done,
+            bins.gaussian_counts, iters=it,
+        )
+
+    t_bwd, _ = bwd(cfg)
+    log(f"bwd kernel+compact-reduce {t_bwd*1e3:6.1f} ms")
+    t_bwd_full, _ = bwd(RasterConfig(
+        tile_size=32, chunk_size=32, max_pairs=cap,
+        early_stop_transmittance=args.early_stop,
+        use_pallas=jax.default_backend() == "tpu", reduce_pairs=0,
+    ))
+    log(f"  full-reduce variant     {t_bwd_full*1e3:6.1f} ms")
 
     @jax.jit
     def fwd_bwd(m, cam, target):
@@ -145,7 +158,7 @@ def main():
             return rgb_loss(image, target, 0.2)
         return jax.value_and_grad(loss_fn)(m)
 
-    t_all, (loss, _) = timed(fwd_bwd, model, cam, target, iters=4)
+    t_all, (loss, _) = timed(fwd_bwd, model, cam, target, iters=it)
     log(f"full fwd+bwd    {t_all*1e3:8.1f} ms = {1.0/t_all:.3f} fps (loss {float(loss):.4f})")
 
 

@@ -1,6 +1,8 @@
 """Pallas kernel correctness in interpreter mode (CPU): forward and backward
 kernels vs the pure-jnp tile implementations on identical binned inputs."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -242,3 +244,59 @@ def test_kernels_with_sharded_tile_ids(binned):
     np.testing.assert_allclose(
         np.asarray(col_p), np.asarray(full_col[sel]), rtol=1e-5, atol=1e-6
     )
+
+
+def test_compacted_reduction_matches_full(binned):
+    """The compacted (written-blocks-only) gradient reduction must agree
+    with the full sort-based path — with real early termination producing
+    partial blocks_done, with a roomy capacity (compact branch) AND with a
+    too-small capacity (lax.cond falls back to the full branch)."""
+    from gsplat_tpu.kernels.raster_bwd import backward_tiles_pallas
+    from gsplat_tpu.kernels.raster_fwd import forward_tiles_pallas
+
+    feat, bins, tile_ids = binned
+    # Opaque-ified, frame-covering features so early stop actually
+    # truncates multi-block tiles: alpha ~0.95 at every pixel of every
+    # bound pair -> T < 1e-2 after two pairs.
+    n_real = feat.shape[0] - 1
+    feat_op = feat.at[:-1, binning.FEAT_OPACITY].set(0.95)
+    feat_op = feat_op.at[:-1, binning.FEAT_CONIC_X].set(1e-6)
+    feat_op = feat_op.at[:-1, binning.FEAT_CONIC_Y].set(1e-6)
+    feat_op = feat_op.at[:-1, binning.FEAT_CONIC_XY].set(0.0)
+    feat_op = feat_op.at[:-1, binning.FEAT_X_MIN].set(0.0)
+    feat_op = feat_op.at[:-1, binning.FEAT_Y_MIN].set(0.0)
+    feat_op = feat_op.at[:-1, binning.FEAT_X_MAX].set(float(WIDTH))
+    feat_op = feat_op.at[:-1, binning.FEAT_Y_MAX].set(float(HEIGHT))
+    cfg_es = RasterConfig(
+        tile_size=16, chunk_size=8, pair_block=8, max_pairs=4096,
+        early_stop_transmittance=1e-2, use_pallas=True,
+    )
+    color, trans, blocks_done = forward_tiles_pallas(
+        feat_op, bins.pair_gaussian, bins.tile_start, bins.tile_count,
+        tile_ids, NTX, cfg_es, interpret=True,
+    )
+    total_blocks = int(np.sum(-(-np.asarray(bins.tile_count) // cfg_es.pair_block)))
+    done_blocks = int(np.sum(np.asarray(blocks_done)))
+    assert 0 < done_blocks < total_blocks  # early stop really truncated
+
+    g_color = jax.random.normal(jax.random.key(0), color.shape, color.dtype)
+    g_trans = jax.random.normal(jax.random.key(1), trans.shape, trans.dtype)
+
+    def run(cfg):
+        return np.asarray(
+            backward_tiles_pallas(
+                feat_op, bins.pair_gaussian, bins.tile_start, bins.tile_count,
+                tile_ids, color, trans, g_color, g_trans, NTX, cfg,
+                blocks_done=blocks_done, gaussian_counts=bins.gaussian_counts,
+                interpret=True,
+            )
+        )
+
+    want = run(cfg_es)  # full sort-based reduction
+    roomy = dataclasses.replace(
+        cfg_es, reduce_pairs=(done_blocks + 8) * cfg_es.pair_block
+    )
+    tight = dataclasses.replace(cfg_es, reduce_pairs=cfg_es.pair_block)
+    scale = np.abs(want).max() + 1e-8
+    np.testing.assert_allclose(run(roomy), want, rtol=5e-4, atol=1e-5 * scale)
+    np.testing.assert_allclose(run(tight), want, rtol=0, atol=0)  # same branch
