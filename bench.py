@@ -51,6 +51,17 @@ PAIR_SWEEP_SHIFTS = [0.0, 0.8, 1.4, 2.0]
 REAL_DENSITY_N = 5_000_000
 REAL_DENSITY_SHIFT = 1.9
 
+# Secondary resolution point reported in ``extra`` (README §Performance).
+RES_4K = (3840, 2160)
+
+# Minimum pair capacity handed to the timed step (keeps tiny demand
+# measurements from producing degenerate buffers; patchable in tests).
+CAPACITY_FLOOR = 1 << 17
+
+# Timed iterations per point (headline / sweep / real-density / 4K); the
+# CPU smoke test patches these down to 1.
+ITERS = (20, 8, 4, 6)
+
 
 def build_scene(n: int, scale_shift: float = 0.0):
     """The bench scene, generated ON DEVICE (host->device over the tunneled
@@ -83,24 +94,29 @@ def build_scene(n: int, scale_shift: float = 0.0):
     return jax.jit(gen)(float(scale_shift))
 
 
-def sized_capacity(model, cam, headroom: float = 1.5) -> tuple:
+def sized_capacity(model, cam, headroom: float = 1.5, width=None, height=None) -> tuple:
     """(capacity, demand): measured pair demand times ``headroom``,
-    pair_block-aligned."""
+    pair_block-aligned. width/height default to the module's (patchable)
+    headline resolution at call time."""
     from gsplat_tpu import RasterConfig
     from gsplat_tpu.render.pipeline import binning_stats
 
+    width = WIDTH if width is None else width
+    height = HEIGHT if height is None else height
     probe = RasterConfig(tile_size=32, chunk_size=32, max_pairs=1 << 20)
-    demand = int(binning_stats(model, cam, WIDTH, HEIGHT, probe)["pair_demand"])
-    return max(int(demand * headroom) // 128 * 128, 1 << 17), demand
+    demand = int(binning_stats(model, cam, width, height, probe)["pair_demand"])
+    return max(int(demand * headroom) // 128 * 128, CAPACITY_FLOOR), demand
 
 
-def bench_camera():
+def bench_camera(width=None, height=None):
     from gsplat_tpu.ops.camera import CameraParams
 
-    fx = 0.8 * WIDTH
+    width = WIDTH if width is None else width
+    height = HEIGHT if height is None else height
+    fx = 0.8 * width
     return CameraParams(
-        width=WIDTH, height=HEIGHT,
-        fov_x=2 * math.atan(WIDTH / (2 * fx)), fov_y=2 * math.atan(HEIGHT / (2 * fx)),
+        width=width, height=height,
+        fov_x=2 * math.atan(width / (2 * fx)), fov_y=2 * math.atan(height / (2 * fx)),
         focal_x=fx, focal_y=fx,
         qvec=(1.0, 0.0, 0.0, 0.0), tvec=(0.0, 0.0, 0.0),
     )
@@ -173,7 +189,7 @@ def synthetic_bench(args):
     model = build_scene(NUM_GAUSSIANS)
     max_pairs, _ = sized_capacity(model, cam)
     cfg = make_cfg(max_pairs, 0.0)
-    elapsed, final_loss = time_fwd_bwd(model, cam, target, cfg)
+    elapsed, final_loss = time_fwd_bwd(model, cam, target, cfg, iters=ITERS[0])
     fps = 1.0 / elapsed
     num_pairs, demand, overflowed = pair_stats(model, cam, cfg)
     assert not overflowed, (num_pairs, demand)
@@ -191,7 +207,7 @@ def synthetic_bench(args):
     if not args.quick:
         # The CUDA original's early-termination heuristic (T < 1e-4), for
         # comparison; it only pays off at heavier pair densities.
-        el_es, _ = time_fwd_bwd(model, cam, target, make_cfg(max_pairs, 1e-4))
+        el_es, _ = time_fwd_bwd(model, cam, target, make_cfg(max_pairs, 1e-4), iters=ITERS[0])
         extra["early_stop_fps"] = round(1.0 / el_es, 3)
 
         # Pair-density sweep: grow the splats, re-size the pair budget to
@@ -203,7 +219,7 @@ def synthetic_bench(args):
                 cap, dem = sized_capacity(m, cam)
                 c = make_cfg(cap, 1e-4)
                 np_, dem, ovf = pair_stats(m, cam, c)
-                el, _ = time_fwd_bwd(m, cam, target, c, iters=8)
+                el, _ = time_fwd_bwd(m, cam, target, c, iters=ITERS[1])
             except Exception as exc:  # e.g. HBM exhaustion at the heavy point
                 sweep.append({"shift": shift, "error": type(exc).__name__})
                 continue
@@ -228,8 +244,8 @@ def synthetic_bench(args):
             # Early-stop mode composites only a few percent of the blocks at
             # this density; the compacted reduction runs at that scale.
             c = make_cfg(cap, 1e-4, reduce_pairs=cap // 4)
-            el, _ = time_fwd_bwd(m, cam, target, c, iters=4)
-            el_exact, _ = time_fwd_bwd(m, cam, target, make_cfg(cap, 0.0), iters=4)
+            el, _ = time_fwd_bwd(m, cam, target, c, iters=ITERS[2])
+            el_exact, _ = time_fwd_bwd(m, cam, target, make_cfg(cap, 0.0), iters=ITERS[2])
             extra["real_density"] = {
                 "num_gaussians": REAL_DENSITY_N,
                 "pair_demand": dem,
@@ -241,6 +257,25 @@ def synthetic_bench(args):
             }
         except Exception as exc:
             extra["real_density"] = {"error": type(exc).__name__}
+
+        # 4K (3840x2160) point on the headline scene: per-pair fixed costs
+        # amortize over more covered pixels, so Mpix/s improves with
+        # resolution (README §Performance).
+        try:
+            w4, h4 = RES_4K
+            cam4 = CameraArrays.from_params(bench_camera(w4, h4))
+            t4 = jnp.zeros((h4, w4, 3), jnp.float32) + 0.25
+            cap4, dem4 = sized_capacity(model, cam4, width=w4, height=h4)
+            el4, _ = time_fwd_bwd(model, cam4, t4, make_cfg(cap4, 0.0), iters=ITERS[3])
+            extra["res_4k"] = {
+                "width": w4, "height": h4,
+                "pair_demand": dem4,
+                "fps": round(1.0 / el4, 3),
+                "sec_per_frame": round(el4, 4),
+                "mpixels_per_sec": round(w4 * h4 / el4 / 1e6, 2),
+            }
+        except Exception as exc:
+            extra["res_4k"] = {"error": type(exc).__name__}
 
     return {
         "metric": "1080p_fwd+bwd_frames_per_sec_per_chip",

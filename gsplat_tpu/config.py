@@ -103,11 +103,11 @@ class DensifyConfig:
         Counting convention: the mean is over steps in which the gaussian
         received ANY gradient ("seen"), which matches 3DGS's per-view
         visibility counting when each step trains one view (the single-host
-        Trainer). Under data parallelism (ParallelTrainer, dp > 1) one step
-        folds the psum over the whole camera batch in as ONE sample — the
-        norm of the *summed* gradient, where cross-view components can
-        cancel or add — so avg_grad is not numerically comparable across dp
-        widths and ``grad_threshold`` may need recalibration when dp > 1.
+        Trainer). The ParallelTrainer keeps the same convention under data
+        parallelism: the viewspace probe is laid out per camera and sharded
+        over the data axis, so each view of the batch is accumulated as its
+        own sample — avg_grad (and this threshold) is comparable across dp
+        widths.
       min_opacity: activated opacity below which a gaussian is pruned.
       percent_dense: scale cutoff (fraction of the camera extent) separating
         clone (small splat, under-reconstruction) from split (large splat,

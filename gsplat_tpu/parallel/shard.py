@@ -295,9 +295,12 @@ def make_parallel_train_step(
         all-gathered across the tile axis for the windowed SSIM term (one
         image of ICI traffic per camera);
       * with ``with_viewspace_grad`` the step additionally returns the
-        batch-summed viewspace positional gradient [N, 2] (psum'd over the
-        mesh by the shard_map transpose) for densification
-        (train/densify.py accumulate).
+        PER-VIEW viewspace positional gradients [B, N, 2] (the probe offset
+        is laid out per camera and sharded over the data axis, so each
+        view's gradient stays a separate sample — psum'd over the tile axis
+        only). Feeding each row to ``train/densify.py accumulate`` matches
+        the single-host Trainer's per-view counting exactly, so
+        ``DensifyConfig.grad_threshold`` needs no recalibration under dp.
     """
     dp = mesh.shape[DATA_AXIS]
     tp = mesh.shape[TILE_AXIS]
@@ -319,16 +322,18 @@ def make_parallel_train_step(
     def local_loss(model_p, off_p, cams_l, targets_l, mask_l, n_local):
         """Loss contribution of one device: its cameras x its tile slab.
 
-        model_p / off_p: replicated padded model + viewspace probe;
-        cams_l: CameraArrays leaves [Bl, ...]; targets_l: [Bl, T_l, npix, 3];
-        mask_l: [T_l, npix] pixel validity of this shard's tiles.
-        Returns (mean loss, mean mse), psum'd over the whole mesh.
+        model_p: replicated padded model; off_p: this data row's viewspace
+        probes [Bl, N_pad, 2] (per camera — each view's probe gradient stays
+        a separate sample); cams_l: CameraArrays leaves [Bl, ...];
+        targets_l: [Bl, T_l, npix, 3]; mask_l: [T_l, npix] pixel validity
+        of this shard's tiles. Returns (mean loss, mean mse), psum'd over
+        the whole mesh.
         """
 
         def one_camera(args):
-            cam, target_tiles = args
+            cam, target_tiles, off_row = args
             color, _ = _shard_render_tiles(
-                model_p, cam, lay, width, height, raster_cfg, n_local, off_p
+                model_p, cam, lay, width, height, raster_cfg, n_local, off_row
             )
             npixels = width * height * 3
             mse = jnp.sum(((color - target_tiles) ** 2) * mask_l[:, :, None]) / npixels
@@ -363,7 +368,7 @@ def make_parallel_train_step(
                 )
             return loss, mse
 
-        losses, mses = jax.lax.map(one_camera, (cams_l, targets_l))
+        losses, mses = jax.lax.map(one_camera, (cams_l, targets_l, off_p))
         batch = losses.shape[0] * dp
         loss = jax.lax.psum(jnp.sum(losses), (DATA_AXIS, TILE_AXIS)) / batch
         mse = jax.lax.psum(jnp.sum(mses), (DATA_AXIS, TILE_AXIS)) / batch
@@ -378,7 +383,7 @@ def make_parallel_train_step(
             mesh=mesh,
             in_specs=(
                 P(),  # padded model (replicated)
-                P(),  # viewspace probe (replicated)
+                P(DATA_AXIS),  # per-view viewspace probes [B, N_pad, 2]
                 P(DATA_AXIS),  # cameras
                 P(DATA_AXIS, TILE_AXIS),  # target tiles (stacked shard order)
                 P(TILE_AXIS),  # pixel-mask slab
@@ -387,7 +392,8 @@ def make_parallel_train_step(
             check_vma=False,  # loop carries start mesh-invariant, become varying
         )
 
-        offset = jnp.zeros((n_local * tp, 2), model.means.dtype)
+        batch = jax.tree.leaves(cams)[0].shape[0]
+        offset = jnp.zeros((batch, n_local * tp, 2), model.means.dtype)
 
         def loss_fn(m, off):
             m_p = _pad_model(m, n_local * tp)
@@ -400,7 +406,7 @@ def make_parallel_train_step(
         model = jax.tree.map(lambda p, u: p + u, model, updates)
         metrics = {"loss": loss, "psnr": -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))}
         if with_viewspace_grad:
-            return model, new_opt_state, metrics, vs_grad[: model.num_gaussians]
+            return model, new_opt_state, metrics, vs_grad[:, : model.num_gaussians]
         return model, new_opt_state, metrics
 
     def init_state(model):
@@ -520,7 +526,11 @@ class ParallelTrainer:
                 model, opt_state, metrics, vs = step_fn(
                     model, opt_state, cams, targets
                 )
-                dstate = D.accumulate(dstate, vs, width, height)
+                # vs is [B, N, 2], one row per camera of the batch: fold each
+                # view in as its own sample (identical counting to the
+                # single-host Trainer, any dp width).
+                for b in range(vs.shape[0]):
+                    dstate = D.accumulate(dstate, vs[b], width, height)
                 if dc.start <= step < dc.until and step > 0 and step % dc.every == 0:
                     key, sub = _jax.random.split(key)
                     model, touched, dstats = D.densify_prune_step(

@@ -32,7 +32,9 @@ The single-host Trainer drives densification end-to-end
 (train/trainer.py). Under the (data x tile) mesh the pool is replicated
 like the model and ``densify_prune_step`` is a pure function of psum'd
 gradients: build the parallel step with ``with_viewspace_grad=True``
-(parallel/shard.py) and feed its [N, 2] output through :func:`accumulate`.
+(parallel/shard.py) and feed each camera's row of its per-view [B, N, 2]
+output through :func:`accumulate` — identical counting to the single-host
+path at any dp width.
 """
 
 from __future__ import annotations

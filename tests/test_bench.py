@@ -14,6 +14,30 @@ sys.path.insert(0, ".")  # repo root for `import bench`
 
 
 @pytest.mark.slow
+def test_synthetic_bench_mode(monkeypatch):
+    """The driver-run synthetic mode end-to-end at toy scale: headline +
+    early-stop + pair sweep + real-density + 4K extras all produce finite
+    numbers (breakage here means the round-end hardware bench breaks)."""
+    import bench
+
+    monkeypatch.setattr(bench, "WIDTH", 128)
+    monkeypatch.setattr(bench, "HEIGHT", 96)
+    monkeypatch.setattr(bench, "NUM_GAUSSIANS", 800)
+    monkeypatch.setattr(bench, "PAIR_SWEEP_SHIFTS", [0.8])
+    monkeypatch.setattr(bench, "REAL_DENSITY_N", 800)
+    monkeypatch.setattr(bench, "REAL_DENSITY_SHIFT", 1.0)
+    monkeypatch.setattr(bench, "RES_4K", (160, 128))
+    monkeypatch.setattr(bench, "CAPACITY_FLOOR", 1 << 10)
+    monkeypatch.setattr(bench, "ITERS", (1, 1, 1, 1))
+    out = bench.synthetic_bench(argparse.Namespace(quick=False))
+    assert out["value"] > 0 and np.isfinite(out["extra"]["loss"])
+    assert out["extra"]["early_stop_fps"] > 0
+    assert out["extra"]["pair_sweep"][0]["fps"] > 0, out["extra"]["pair_sweep"]
+    assert out["extra"]["real_density"]["fps"] > 0, out["extra"]["real_density"]
+    assert out["extra"]["res_4k"]["fps"] > 0, out["extra"]["res_4k"]
+
+
+@pytest.mark.slow
 def test_scene_bench_mode(tmp_path):
     import bench
 

@@ -153,10 +153,46 @@ def test_parallel_viewspace_grad_mesh_invariant(scene):
 
     v1 = probe(1)
     v4 = probe(4)
-    assert v1.shape == (scene.num_gaussians, 2)
+    assert v1.shape == (1, scene.num_gaussians, 2)
     assert np.isfinite(v1).all() and np.abs(v1).max() > 0
     scale = np.abs(v1).max()
     np.testing.assert_allclose(v4, v1, rtol=1e-4, atol=1e-6 * scale)
+
+
+def test_parallel_viewspace_grad_per_view_under_dp(scene):
+    """Under data parallelism the step returns one viewspace-gradient row
+    per camera, each equal to that camera's dp=1 gradient (round-2 ADVICE:
+    the densify signal must not fold the batch into one sample, or
+    grad_threshold stops being comparable across dp widths)."""
+    cameras = [orbit_camera(a, width=W, height=H) for a in (0.0, 0.35)]
+    target0 = render(scene, cameras[0], CFG)[0]
+    targets = jnp.stack([render(scene, c, CFG)[0] for c in cameras])
+    # Train toward view 0's image from both views so view 1's loss (hence
+    # its viewspace gradient) differs from view 0's.
+    tc = TrainConfig(ssim_weight=0.0)
+
+    def probe(dp, cams_list, tgts):
+        mesh = make_mesh(MeshConfig(data=dp, tile=1))
+        step, init_state, prep = make_parallel_train_step(
+            mesh, W, H, CFG, tc, with_viewspace_grad=True
+        )
+        cams = CameraArrays.stack([CameraArrays.from_params(c) for c in cams_list])
+        tiles = prep(tgts)
+        _, _, _, vs = step(scene, init_state(scene), cams, tiles)
+        return np.asarray(vs)
+
+    both = probe(2, cameras, jnp.stack([target0, target0]))
+    solo0 = probe(1, cameras[:1], jnp.stack([target0]))
+    solo1 = probe(1, cameras[1:], jnp.stack([target0]))
+    assert both.shape == (2, scene.num_gaussians, 2)
+    scale = np.abs(solo1).max()
+    assert np.abs(both[1]).max() > 0
+    # Each batch row carries exactly its own camera's gradient (up to the
+    # 1/B batch-mean factor in the loss).
+    np.testing.assert_allclose(both[0] * 2, solo0[0], rtol=1e-4, atol=1e-6 * scale)
+    np.testing.assert_allclose(both[1] * 2, solo1[0], rtol=1e-4, atol=1e-6 * scale)
+    # And the two views genuinely differ (the per-view signal is real).
+    assert np.abs(both[1] - both[0]).max() > 1e-6 * scale
 
 
 @pytest.mark.slow
