@@ -367,17 +367,31 @@ def train(
     SfM points (sparse/0/points3D) and optimize against its ground-truth
     views — the full 3DGS loop (init -> densify -> optimize). The reference
     only parses points3D (data_reader.py:48-114); here they are the
-    train-from-scratch seed (GaussianModel.from_points3d)."""
+    train-from-scratch seed (GaussianModel.from_points3d). With
+    --trained_model_path the run WARM-STARTS from that Inria checkpoint
+    instead of the SfM points (same as finetune, but with this command's
+    densify-on default)."""
     from gsplat_tpu.io.scene import read_points3d
     from gsplat_tpu.models.gaussians import GaussianModel
 
     cfg = _raster_config(tile_size, chunk_size, max_pairs, early_stop, backend)
-    xyzs, rgbs, _ = read_points3d(input_dir)
-    model = GaussianModel.from_points3d(xyzs, rgbs, initial_opacity=initial_opacity)
+    if trained_model_path:
+        from gsplat_tpu.io.ply import load_splat_arrays
+        from gsplat_tpu.io.scene import checkpoint_ply_path
+
+        model = GaussianModel.from_arrays(
+            load_splat_arrays(checkpoint_ply_path(trained_model_path))
+        )
+        init_desc = f"checkpoint {trained_model_path} ({model.num_gaussians} splats)"
+    else:
+        xyzs, rgbs, _ = read_points3d(input_dir)
+        model = GaussianModel.from_points3d(
+            xyzs, rgbs, initial_opacity=initial_opacity
+        )
+        init_desc = f"{model.num_gaussians} SfM points"
     views = _load_views(input_dir, scale_factor)
     logger.info(
-        "training from %d SfM points on %d views for %d steps",
-        model.num_gaussians, len(views), steps,
+        "training from %s on %d views for %d steps", init_desc, len(views), steps
     )
     _run_training(
         model, views, cfg, auto_pairs, output_path, steps, ssim_weight,

@@ -406,7 +406,14 @@ def make_parallel_train_step(
         model = jax.tree.map(lambda p, u: p + u, model, updates)
         metrics = {"loss": loss, "psnr": -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))}
         if with_viewspace_grad:
-            return model, new_opt_state, metrics, vs_grad[:, : model.num_gaussians]
+            # loss averages over the batch, so each probe row carries a
+            # 1/batch factor; undo it so row b is d(loss of view b)/d(offset)
+            # — numerically identical to the single-host per-view probe at
+            # any dp width (grad_threshold stays calibrated).
+            return (
+                model, new_opt_state, metrics,
+                vs_grad[:, : model.num_gaussians] * batch,
+            )
         return model, new_opt_state, metrics
 
     def init_state(model):

@@ -193,18 +193,22 @@ def model_mode(args):
         t_bin, bins = timed(jax.jit(bin_shard), prep)
 
         # Replicated-only part: the O(N) sortless prologue (elementwise
-        # rects/counts, the 63-step overflow binary search, the MXU
-        # histogram masks) — isolated by running the same binning with a
-        # near-zero pair capacity, which collapses every P-scale stage
-        # (markers, row gather, pair sort) to noise.
+        # rects/counts, the total-demand reduction, the MXU histogram
+        # masks) — isolated by running the same binning with a near-zero
+        # pair capacity AND every gaussian inactive: zero counts collapse
+        # every P-scale stage (markers, row gather, pair sort) to noise
+        # while keeping total <= cap, so the lax.cond takes the same
+        # no-overflow fast path the headroom-sized real binning takes
+        # (binning with a tiny capacity but live counts would instead
+        # trigger the 63-step overflow search the real path skips).
         def prologue_only(p):
             rects = binning.strided_tile_ranges(
                 p.cull_bbox, cfg.tile_size, lay.ntx_g, lay.nty_g,
                 lay.sx, lay.sy, 0, 0,
             )
             return binning.bin_rects(
-                p.depth, p.active, rects, lay.ntx_l, lay.nty_l,
-                cfg.pair_block, align=cfg.pair_block,
+                p.depth, jnp.zeros_like(p.active), rects, lay.ntx_l,
+                lay.nty_l, cfg.pair_block, align=cfg.pair_block,
             )
 
         t_sort, _ = timed(jax.jit(prologue_only), prep)

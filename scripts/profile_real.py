@@ -19,12 +19,11 @@ import numpy as np
 sys.path.insert(0, ".")
 sys.path.insert(0, "scripts")
 
-from bench import WIDTH, HEIGHT, bench_camera
+from bench import WIDTH, HEIGHT, bench_camera, build_scene, sized_capacity
 from gsplat_tpu import RasterConfig
-from gsplat_tpu.models.gaussians import GaussianModel
 from gsplat_tpu.ops import binning
 from gsplat_tpu.ops.camera import CameraArrays
-from gsplat_tpu.render.pipeline import binning_stats, preprocess_traced, render_traced
+from gsplat_tpu.render.pipeline import preprocess_traced, render_traced
 from gsplat_tpu.kernels.raster import _backward_impl
 from gsplat_tpu.kernels.raster_fwd import build_pair_feat, forward_tiles_pallas
 from gsplat_tpu.train.loss import rgb_loss
@@ -37,21 +36,6 @@ def log(msg):
     print(f"[{time.time()-T0:7.1f}s] {msg}", flush=True)
 
 
-def device_scene(n: int, shift: float, seed: int = 0) -> GaussianModel:
-    """bench.build_scene's distributions, generated on device."""
-    ks = jax.random.split(jax.random.key(seed), 6)
-    z = jax.random.uniform(ks[0], (n,), minval=2.0, maxval=10.0)
-    x = jax.random.uniform(ks[1], (n,), minval=-0.9, maxval=0.9) * z
-    y = jax.random.uniform(ks[2], (n,), minval=-0.55, maxval=0.55) * z
-    return GaussianModel(
-        means=jnp.stack([x, y, z], -1),
-        log_scales=jax.random.uniform(ks[3], (n, 3), minval=-5.2, maxval=-3.6) + shift,
-        quats=jax.random.normal(ks[4], (n, 4)),
-        opacity_logits=jax.random.uniform(ks[5], (n,), minval=-2.0, maxval=2.0),
-        sh=jax.random.normal(jax.random.fold_in(ks[0], 1), (n, 48)).reshape(n, 16, 3) * 0.2,
-    )
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=5_000_000)
@@ -62,15 +46,13 @@ def main():
     args = ap.parse_args()
     it = args.iters
 
-    model = jax.jit(device_scene, static_argnums=(0,))(args.n, args.shift)
+    model = build_scene(args.n, args.shift)  # bench's on-device generator
     np.asarray(model.means.ravel()[:1])
     log("device scene built")
 
     cam = CameraArrays.from_params(bench_camera())
     target = jnp.zeros((HEIGHT, WIDTH, 3), jnp.float32) + 0.25
-    probe = RasterConfig(tile_size=32, chunk_size=32, max_pairs=1 << 20)
-    demand = int(binning_stats(model, cam, WIDTH, HEIGHT, probe)["pair_demand"])
-    cap = int(demand * args.slack) // 128 * 128
+    cap, demand = sized_capacity(model, cam, headroom=args.slack)
     log(f"demand={demand} ({demand/args.n:.2f} pairs/g) cap={cap}")
 
     cfg = RasterConfig(

@@ -67,6 +67,34 @@ def test_cli_finetune(scene_dir, tmp_path):
     )
 
 
+def test_cli_train_from_points(scene_dir, tmp_path):
+    """`train` without a checkpoint seeds from the scene's SfM points."""
+    out = str(tmp_path / "tr")
+    args = [a for a in _common(scene_dir, out)]
+    i = args.index("--trained_model_path")
+    del args[i : i + 2]  # no checkpoint: points3D init
+    result = CliRunner().invoke(
+        cli, ["train", *args, "--steps", "3", "--no-densify"]
+    )
+    assert result.exit_code == 0, result.output + repr(result.exception)
+    assert os.path.exists(
+        os.path.join(out, "point_cloud/iteration_30000/point_cloud.ply")
+    )
+
+
+def test_cli_train_warm_start(scene_dir, tmp_path):
+    """`train --trained_model_path` warm-starts from the checkpoint instead
+    of silently ignoring the flag (code-review finding)."""
+    out = str(tmp_path / "trw")
+    result = CliRunner().invoke(
+        cli, ["train", *_common(scene_dir, out), "--steps", "3", "--no-densify"]
+    )
+    assert result.exit_code == 0, result.output + repr(result.exception)
+    assert os.path.exists(
+        os.path.join(out, "point_cloud/iteration_30000/point_cloud.ply")
+    )
+
+
 def test_cli_orbit(scene_dir, tmp_path):
     out = str(tmp_path / "orbit")
     result = CliRunner().invoke(

@@ -187,10 +187,11 @@ def test_parallel_viewspace_grad_per_view_under_dp(scene):
     assert both.shape == (2, scene.num_gaussians, 2)
     scale = np.abs(solo1).max()
     assert np.abs(both[1]).max() > 0
-    # Each batch row carries exactly its own camera's gradient (up to the
-    # 1/B batch-mean factor in the loss).
-    np.testing.assert_allclose(both[0] * 2, solo0[0], rtol=1e-4, atol=1e-6 * scale)
-    np.testing.assert_allclose(both[1] * 2, solo1[0], rtol=1e-4, atol=1e-6 * scale)
+    # Each batch row carries exactly its own camera's per-view gradient —
+    # the 1/B batch-mean factor of the loss is undone inside the step, so
+    # DensifyConfig.grad_threshold needs no dp-width recalibration.
+    np.testing.assert_allclose(both[0], solo0[0], rtol=1e-4, atol=1e-6 * scale)
+    np.testing.assert_allclose(both[1], solo1[0], rtol=1e-4, atol=1e-6 * scale)
     # And the two views genuinely differ (the per-view signal is real).
     assert np.abs(both[1] - both[0]).max() > 1e-6 * scale
 
