@@ -321,11 +321,15 @@ def evaluate(
 @click.option("--sh-warmup-every", type=int, default=0,
               help="bump the trained SH degree every N steps (3DGS warmup; "
                    "0 = full degree from the start)")
+@click.option("--mesh", type=str, default="",
+              help="train on a device mesh, 'DATAxTILE' (e.g. 2x4): camera "
+                   "batch sharded over the data axis, framebuffer tiles "
+                   "over the tile axis (ParallelTrainer). Empty = one chip")
 def finetune(
     input_dir, trained_model_path, scene_index, scale_factor,
     tile_size, chunk_size, max_pairs, early_stop, backend, auto_pairs,
     output_path, steps, ssim_weight, save_iteration,
-    densify, densify_every, densify_grad_threshold, sh_warmup_every,
+    densify, densify_every, densify_grad_threshold, sh_warmup_every, mesh,
 ):
     """Fine-tune the splat model against the scene's ground-truth views
     (BASELINE.json config 4: the full-VJP workload)."""
@@ -336,7 +340,7 @@ def finetune(
     _run_training(
         model, views, cfg, auto_pairs, output_path, steps, ssim_weight,
         save_iteration, densify, densify_every, densify_grad_threshold,
-        sh_warmup_every,
+        sh_warmup_every, mesh,
     )
 
 
@@ -356,12 +360,16 @@ def finetune(
               help="bump the trained SH degree every N steps (3DGS warmup; "
                    "0 = full degree from the start)")
 @click.option("--initial-opacity", type=float, default=0.1)
+@click.option("--mesh", type=str, default="",
+              help="train on a device mesh, 'DATAxTILE' (e.g. 2x4): camera "
+                   "batch sharded over the data axis, framebuffer tiles "
+                   "over the tile axis (ParallelTrainer). Empty = one chip")
 def train(
     input_dir, trained_model_path, scene_index, scale_factor,
     tile_size, chunk_size, max_pairs, early_stop, backend, auto_pairs,
     output_path, steps, ssim_weight, save_iteration,
     densify, densify_every, densify_grad_threshold, sh_warmup_every,
-    initial_opacity,
+    initial_opacity, mesh,
 ):
     """Train a splat model FROM SCRATCH: initialize from the scene's COLMAP
     SfM points (sparse/0/points3D) and optimize against its ground-truth
@@ -396,7 +404,7 @@ def train(
     _run_training(
         model, views, cfg, auto_pairs, output_path, steps, ssim_weight,
         save_iteration, densify, densify_every, densify_grad_threshold,
-        sh_warmup_every,
+        sh_warmup_every, mesh,
     )
 
 
@@ -425,7 +433,7 @@ def _load_views(input_dir, scale_factor):
 def _run_training(
     model, views, cfg, auto_pairs, output_path, steps, ssim_weight,
     save_iteration, densify, densify_every, densify_grad_threshold,
-    sh_warmup_every,
+    sh_warmup_every, mesh="",
 ):
     from gsplat_tpu.config import DensifyConfig
     from gsplat_tpu.train.checkpoint import save_ply_checkpoint
@@ -437,14 +445,31 @@ def _run_training(
         if densify
         else None
     )
-    trainer = Trainer(
-        raster=cfg,
-        train=TrainConfig(
-            steps=steps, ssim_weight=ssim_weight, densify=dcfg,
-            sh_warmup_every=sh_warmup_every,
-        ),
-        auto_pairs=auto_pairs,
+    train_cfg = TrainConfig(
+        steps=steps, ssim_weight=ssim_weight, densify=dcfg,
+        sh_warmup_every=sh_warmup_every,
     )
+    if mesh:
+        from gsplat_tpu.config import MeshConfig
+        from gsplat_tpu.parallel.mesh import make_mesh
+        from gsplat_tpu.parallel.shard import ParallelTrainer
+
+        try:
+            data, tile = (int(x) for x in mesh.lower().split("x"))
+        except ValueError:
+            raise click.BadParameter(f"--mesh must be DATAxTILE, got {mesh!r}")
+        if sh_warmup_every:
+            logger.warning(
+                "--sh-warmup-every is not supported on the mesh path; "
+                "training at full SH degree"
+            )
+        trainer = ParallelTrainer(
+            mesh=make_mesh(MeshConfig(data=data, tile=tile)),
+            raster=cfg, train=train_cfg, auto_pairs=auto_pairs,
+        )
+        logger.info("training on a %dx%d (data x tile) mesh", data, tile)
+    else:
+        trainer = Trainer(raster=cfg, train=train_cfg, auto_pairs=auto_pairs)
     model, history = trainer.fit(
         model, views, log_fn=lambda r: log_metrics(logger, r["step"], r)
     )

@@ -95,6 +95,21 @@ def test_cli_train_warm_start(scene_dir, tmp_path):
     )
 
 
+@pytest.mark.slow
+def test_cli_finetune_mesh(scene_dir, tmp_path):
+    """`finetune --mesh 2x2` trains through ParallelTrainer on the virtual
+    device mesh and writes the same checkpoint layout."""
+    out = str(tmp_path / "ftm")
+    result = CliRunner().invoke(
+        cli, ["finetune", *_common(scene_dir, out), "--steps", "3",
+              "--mesh", "2x2"]
+    )
+    assert result.exit_code == 0, result.output + repr(result.exception)
+    assert os.path.exists(
+        os.path.join(out, "point_cloud/iteration_30001/point_cloud.ply")
+    )
+
+
 def test_cli_orbit(scene_dir, tmp_path):
     out = str(tmp_path / "orbit")
     result = CliRunner().invoke(
