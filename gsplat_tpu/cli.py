@@ -183,10 +183,14 @@ def render(
 @click.option("--output_path", type=str, default="")
 @click.option("--num-frames", type=int, default=60)
 @click.option("--orbit-degrees", type=float, default=360.0)
+@click.option("--mesh", type=str, default="",
+              help="render over a device mesh, 'DATAxTILE': frames sharded "
+                   "over the data axis, tiles within a frame over the tile "
+                   "axis (make_batch_render). Empty = one chip")
 def orbit(
     input_dir, trained_model_path, scene_index, scale_factor,
     tile_size, chunk_size, max_pairs, early_stop, backend, auto_pairs,
-    output_path, num_frames, orbit_degrees,
+    output_path, num_frames, orbit_degrees, mesh,
 ):
     """Render a camera orbit around the scene view as a video
     (BASELINE.json config 2: batched camera poses)."""
@@ -229,12 +233,39 @@ def orbit(
     # batch is one device program; lax.map serializes frames inside it).
     from gsplat_tpu.utils.progress import progress
 
-    group = 8
+    if mesh:
+        from gsplat_tpu.config import MeshConfig
+        from gsplat_tpu.parallel.mesh import make_mesh
+        from gsplat_tpu.parallel.shard import make_batch_render
+
+        try:
+            data, tile = (int(x) for x in mesh.lower().split("x"))
+        except ValueError:
+            raise click.BadParameter(f"--mesh must be DATAxTILE, got {mesh!r}")
+        mesh_render = make_batch_render(
+            make_mesh(MeshConfig(data=data, tile=tile)),
+            camera.width, camera.height, cfg,
+        )
+        group = max(data * 4, 8)  # keep every data row busy per batch
+        logger.info("orbit on a %dx%d (data x tile) mesh", data, tile)
+    else:
+        mesh_render = None
+        group = 8
     images = []
     for i in progress(range(0, num_frames, group), desc="orbit frames"):
-        stacked = CameraArrays.stack(cams[i : i + group])
-        imgs, _ = render_batch(model, stacked, camera.width, camera.height, cfg)
-        images.extend(np.asarray(imgs))
+        batch = cams[i : i + group]
+        if mesh_render is not None:
+            # Pad the tail batch to a data-axis multiple, drop the pads.
+            data = int(mesh.lower().split("x")[0])
+            n_real = len(batch)
+            while len(batch) % data:
+                batch = batch + [batch[-1]]
+            imgs, _ = mesh_render(model, CameraArrays.stack(batch))
+            images.extend(np.asarray(imgs)[:n_real])
+        else:
+            stacked = CameraArrays.stack(batch)
+            imgs, _ = render_batch(model, stacked, camera.width, camera.height, cfg)
+            images.extend(np.asarray(imgs))
     os.makedirs(output_path or ".", exist_ok=True)
     videolib.write_frames(output_path or ".", list(images))
     video_path = videolib.encode_video(output_path or ".", camera.width, camera.height)

@@ -8,6 +8,7 @@ from gsplat_tpu.parallel.mesh import (
 )
 from gsplat_tpu.parallel.shard import (
     ParallelTrainer,
+    make_batch_render,
     make_parallel_train_step,
     make_sharded_binning_stats,
     make_sharded_render,
@@ -19,6 +20,7 @@ __all__ = [
     "ParallelTrainer",
     "initialize_distributed",
     "make_mesh",
+    "make_batch_render",
     "make_parallel_train_step",
     "make_sharded_binning_stats",
     "make_sharded_render",

@@ -275,6 +275,52 @@ def make_sharded_render(
     return render_fn
 
 
+def make_batch_render(
+    mesh: Mesh, width: int, height: int, cfg: RasterConfig
+) -> Callable[[GaussianModel, CameraArrays], Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Batched multi-view render over the full (data x tile) mesh — the
+    serving/orbit-video workload: the camera batch is sharded over the
+    ``data`` axis (each data row renders its own frames, sequentially via
+    lax.map) and each frame's tile grid over the ``tile`` axis. Returns
+    fn(model, cams) -> (images [B, H, W, 3], trans [B, H, W]) with B
+    divisible by the data-axis size; splat parameters are replicated (one
+    per-frame feature all-gather rides the tile axis, nothing crosses the
+    data axis)."""
+    dp = mesh.shape[DATA_AXIS]
+    tp = mesh.shape[TILE_AXIS]
+    lay = _make_layout(width, height, cfg.tile_size, tp)
+    pos_j = jnp.asarray(lay.pos_of_global, jnp.int32)
+
+    @jax.jit
+    def render_fn(model: GaussianModel, cams: CameraArrays):
+        batch = jax.tree.leaves(cams)[0].shape[0]
+        assert batch % dp == 0, (batch, dp)
+        n_local = -(-model.num_gaussians // tp)
+        model_p = _pad_model(model, n_local * tp)
+
+        def shard_fn(m, cams_l):
+            return jax.lax.map(
+                lambda c: _shard_render_tiles(
+                    m, c, lay, width, height, cfg, n_local
+                ),
+                cams_l,
+            )  # ([Bl, T_l, npix, 3], [Bl, T_l, npix])
+
+        color, trans = jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS, TILE_AXIS), P(DATA_AXIS, TILE_AXIS)),
+            check_vma=False,
+        )(model_p, cams)
+        to_img = jax.vmap(
+            lambda t: _stacked_to_image(t, pos_j, width, height, cfg.tile_size)
+        )
+        return to_img(color), to_img(trans)
+
+    return render_fn
+
+
 def make_parallel_train_step(
     mesh: Mesh,
     width: int,

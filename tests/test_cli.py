@@ -119,6 +119,18 @@ def test_cli_orbit(scene_dir, tmp_path):
     assert os.path.exists(os.path.join(out, VIDEO_NAME))
 
 
+def test_cli_orbit_mesh(scene_dir, tmp_path):
+    """`orbit --mesh 2x2` renders frames through make_batch_render on the
+    virtual mesh (tail batch padded to the data axis and trimmed)."""
+    out = str(tmp_path / "orbit_mesh")
+    result = CliRunner().invoke(
+        cli, ["orbit", *_common(scene_dir, out), "--num-frames", "3",
+              "--mesh", "2x2"]
+    )
+    assert result.exit_code == 0, result.output + repr(result.exception)
+    assert os.path.exists(os.path.join(out, VIDEO_NAME))
+
+
 def test_mjpeg_avi_structure(scene_dir, tmp_path):
     """The no-ffmpeg fallback writes a structurally valid RIFF AVI."""
     import struct

@@ -196,6 +196,25 @@ def test_parallel_viewspace_grad_per_view_under_dp(scene):
     assert np.abs(both[1] - both[0]).max() > 1e-6 * scale
 
 
+@pytest.mark.parametrize("dp,tp", [(2, 4), (4, 1), (1, 8)])
+def test_batch_render_matches_single_device(scene, dp, tp):
+    """make_batch_render (frames over data axis x tiles within a frame)
+    reproduces per-frame single-device renders exactly."""
+    from gsplat_tpu.parallel.shard import make_batch_render
+
+    cameras = [orbit_camera(0.1 * i, width=W, height=H) for i in range(4)]
+    mesh = make_mesh(MeshConfig(data=dp, tile=tp))
+    render_fn = make_batch_render(mesh, W, H, CFG)
+    cams = CameraArrays.stack([CameraArrays.from_params(c) for c in cameras])
+    images, trans = render_fn(scene, cams)
+    assert images.shape == (4, H, W, 3) and trans.shape == (4, H, W)
+    for i, c in enumerate(cameras):
+        expected = np.asarray(render(scene, c, CFG)[0])
+        np.testing.assert_allclose(
+            np.asarray(images[i]), expected, rtol=1e-5, atol=1e-6
+        )
+
+
 @pytest.mark.slow
 def test_parallel_trainer_fit(scene):
     """ParallelTrainer.fit mirrors Trainer.fit on a (data x tile) mesh:
