@@ -392,6 +392,42 @@ def scene_bench(args):
     }
 
 
+def _device_watchdog(timeout_s: float = 300.0):
+    """Fail fast (with an honest JSON line) if the first device op never
+    completes — the tunneled TPU backend can wedge at the PJRT client
+    claim, hanging forever with ~0 CPU; without this the whole bench run
+    produces no artifact at all."""
+    import threading
+
+    done = threading.Event()
+
+    def probe():
+        import jax
+        import jax.numpy as jnp
+
+        x = jax.jit(lambda a: a + 1.0)(jnp.ones((8, 128), jnp.float32))
+        np.asarray(x.ravel()[:1])
+        done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        print(json.dumps({
+            "metric": "1080p_fwd+bwd_frames_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "extra": {
+                "error": "device_unreachable",
+                "detail": f"first device op did not complete within "
+                          f"{timeout_s:.0f}s (TPU tunnel wedged/down)",
+            },
+        }), flush=True)
+        import os
+
+        os._exit(3)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default=None, help="COLMAP scene dir (real-scene mode)")
@@ -403,6 +439,7 @@ def main():
     )
     args = ap.parse_args()
 
+    _device_watchdog()
     result = scene_bench(args) if args.scene else synthetic_bench(args)
     print(json.dumps(result))
 
