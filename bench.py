@@ -392,36 +392,44 @@ def scene_bench(args):
     }
 
 
-def _device_watchdog(timeout_s: float = 300.0):
+def _device_watchdog(metric: str, timeout_s: float = 300.0):
     """Fail fast (with an honest JSON line) if the first device op never
     completes — the tunneled TPU backend can wedge at the PJRT client
     claim, hanging forever with ~0 CPU; without this the whole bench run
-    produces no artifact at all."""
+    produces no artifact at all. A probe that RAISES (fast init failure)
+    exits immediately with the real error instead of burning the timeout."""
     import threading
 
     done = threading.Event()
+    failure = []
 
     def probe():
-        import jax
-        import jax.numpy as jnp
+        try:
+            import jax
+            import jax.numpy as jnp
 
-        x = jax.jit(lambda a: a + 1.0)(jnp.ones((8, 128), jnp.float32))
-        np.asarray(x.ravel()[:1])
+            x = jax.jit(lambda a: a + 1.0)(jnp.ones((8, 128), jnp.float32))
+            np.asarray(x.ravel()[:1])
+        except BaseException as exc:  # noqa: BLE001 — reported, then exit
+            failure.append(f"{type(exc).__name__}: {exc}")
         done.set()
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
-    if not done.wait(timeout_s):
+    timed_out = not done.wait(timeout_s)
+    if timed_out or failure:
+        detail = (
+            f"first device op did not complete within {timeout_s:.0f}s "
+            f"(TPU tunnel wedged/down)"
+            if timed_out
+            else f"device init failed: {failure[0]}"
+        )
         print(json.dumps({
-            "metric": "1080p_fwd+bwd_frames_per_sec_per_chip",
+            "metric": metric,
             "value": 0.0,
             "unit": "frames/s",
             "vs_baseline": 0.0,
-            "extra": {
-                "error": "device_unreachable",
-                "detail": f"first device op did not complete within "
-                          f"{timeout_s:.0f}s (TPU tunnel wedged/down)",
-            },
+            "extra": {"error": "device_unreachable", "detail": detail},
         }), flush=True)
         import os
 
@@ -439,7 +447,10 @@ def main():
     )
     args = ap.parse_args()
 
-    _device_watchdog()
+    _device_watchdog(
+        "real_scene_fwd+bwd_frames_per_sec_per_chip" if args.scene
+        else "1080p_fwd+bwd_frames_per_sec_per_chip"
+    )
     result = scene_bench(args) if args.scene else synthetic_bench(args)
     print(json.dumps(result))
 

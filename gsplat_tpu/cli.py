@@ -113,6 +113,56 @@ def _check_pairs(model, cameras, cfg: RasterConfig, auto_pairs: bool) -> RasterC
     return cfg
 
 
+def _parse_mesh(mesh: str):
+    """'DATAxTILE' -> (data, tile), validated (both >= 1)."""
+    try:
+        data, tile = (int(x) for x in mesh.lower().split("x"))
+    except ValueError:
+        raise click.BadParameter(f"--mesh must be DATAxTILE, got {mesh!r}")
+    if data < 1 or tile < 1:
+        raise click.BadParameter(
+            f"--mesh dimensions must be >= 1, got {data}x{tile}"
+        )
+    return data, tile
+
+
+def _check_pairs_sharded(model, cameras, cfg, auto_pairs, mesh):
+    """Per-shard analogue of :func:`_check_pairs` for mesh paths:
+    ``max_pairs`` is the PER-SHARD capacity and the strided tile layout
+    only decorrelates load, so the binding number is the max over shards
+    of each shard's own strided-binning demand (make_sharded_binning_stats)
+    — whole-frame demand would overallocate every shard ~tile-fold."""
+    import dataclasses as _dc
+
+    from gsplat_tpu.ops.camera import CameraArrays
+    from gsplat_tpu.parallel.shard import make_sharded_binning_stats
+    from gsplat_tpu.render.pipeline import required_max_pairs
+
+    if not isinstance(cameras, (list, tuple)):
+        cameras = [cameras]
+    stats_fn = make_sharded_binning_stats(
+        mesh, cameras[0].width, cameras[0].height, cfg
+    )
+    demand = 0
+    for camera in cameras:
+        cam = CameraArrays.from_params(camera)
+        demand = max(demand, int(stats_fn(model, cam)["max_shard_demand"]))
+    if demand > cfg.max_pairs:
+        target = required_max_pairs(demand)
+        if auto_pairs:
+            logger.warning(
+                "per-shard pair overflow (demand %d > capacity %d): using "
+                "max_pairs=%d", demand, cfg.max_pairs, target,
+            )
+            return _dc.replace(cfg, max_pairs=target)
+        logger.warning(
+            "per-shard pair overflow (demand %d > capacity %d): deepest "
+            "splats will be dropped — use --max-pairs %d or --auto-pairs",
+            demand, cfg.max_pairs, target,
+        )
+    return cfg
+
+
 def common_options(fn):
     for opt in reversed(_COMMON):
         fn = opt(fn)
@@ -201,6 +251,7 @@ def orbit(
     from gsplat_tpu.utils import video as videolib
 
     cfg = _raster_config(tile_size, chunk_size, max_pairs, early_stop, backend)
+    mesh_dims = _parse_mesh(mesh) if mesh else None  # fail before scene I/O
     model, camera, _, _ = _load_scene(input_dir, trained_model_path, scene_index, scale_factor)
 
     poses = []
@@ -227,24 +278,25 @@ def orbit(
         )
     # An orbit pose can rotate more splats into frustum than the base view:
     # budget-check the whole trajectory (one binning compile, data-traced).
-    cfg = _check_pairs(model, poses, cfg, auto_pairs)
+    # Mesh path: max_pairs is PER-SHARD capacity — size from per-shard
+    # demand, not whole-frame demand (which would overallocate ~tile-fold).
+    if mesh_dims is None:
+        cfg = _check_pairs(model, poses, cfg, auto_pairs)
     cams = [CameraArrays.from_params(p) for p in poses]
     # Render in small batches so progress is visible on long orbits (each
     # batch is one device program; lax.map serializes frames inside it).
     from gsplat_tpu.utils.progress import progress
 
-    if mesh:
+    if mesh_dims is not None:
         from gsplat_tpu.config import MeshConfig
         from gsplat_tpu.parallel.mesh import make_mesh
         from gsplat_tpu.parallel.shard import make_batch_render
 
-        try:
-            data, tile = (int(x) for x in mesh.lower().split("x"))
-        except ValueError:
-            raise click.BadParameter(f"--mesh must be DATAxTILE, got {mesh!r}")
+        data, tile = mesh_dims
+        device_mesh = make_mesh(MeshConfig(data=data, tile=tile))
+        cfg = _check_pairs_sharded(model, poses, cfg, auto_pairs, device_mesh)
         mesh_render = make_batch_render(
-            make_mesh(MeshConfig(data=data, tile=tile)),
-            camera.width, camera.height, cfg,
+            device_mesh, camera.width, camera.height, cfg
         )
         group = max(data * 4, 8)  # keep every data row busy per batch
         logger.info("orbit on a %dx%d (data x tile) mesh", data, tile)
@@ -256,7 +308,6 @@ def orbit(
         batch = cams[i : i + group]
         if mesh_render is not None:
             # Pad the tail batch to a data-axis multiple, drop the pads.
-            data = int(mesh.lower().split("x")[0])
             n_real = len(batch)
             while len(batch) % data:
                 batch = batch + [batch[-1]]
@@ -485,10 +536,7 @@ def _run_training(
         from gsplat_tpu.parallel.mesh import make_mesh
         from gsplat_tpu.parallel.shard import ParallelTrainer
 
-        try:
-            data, tile = (int(x) for x in mesh.lower().split("x"))
-        except ValueError:
-            raise click.BadParameter(f"--mesh must be DATAxTILE, got {mesh!r}")
+        data, tile = _parse_mesh(mesh)
         if sh_warmup_every:
             logger.warning(
                 "--sh-warmup-every is not supported on the mesh path; "

@@ -294,7 +294,11 @@ def make_batch_render(
     @jax.jit
     def render_fn(model: GaussianModel, cams: CameraArrays):
         batch = jax.tree.leaves(cams)[0].shape[0]
-        assert batch % dp == 0, (batch, dp)
+        if batch % dp != 0:
+            raise ValueError(
+                f"camera batch ({batch}) must be divisible by the data-axis "
+                f"size ({dp}); pad the batch (see cli.py orbit)"
+            )
         n_local = -(-model.num_gaussians // tp)
         model_p = _pad_model(model, n_local * tp)
 
