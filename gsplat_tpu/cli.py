@@ -537,11 +537,6 @@ def _run_training(
         from gsplat_tpu.parallel.shard import ParallelTrainer
 
         data, tile = _parse_mesh(mesh)
-        if sh_warmup_every:
-            logger.warning(
-                "--sh-warmup-every is not supported on the mesh path; "
-                "training at full SH degree"
-            )
         trainer = ParallelTrainer(
             mesh=make_mesh(MeshConfig(data=data, tile=tile)),
             raster=cfg, train=train_cfg, auto_pairs=auto_pairs,

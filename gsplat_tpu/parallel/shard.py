@@ -22,7 +22,9 @@ fully covered from slot 0 and its ``gaussian_counts`` describe exactly its
 own pairs — so the backward's fast sort-based pair->gaussian reduction is
 valid under sharding (round 1 had to force the ~0.5 s/4M-pair exact
 segment_sum whenever tp > 1). The only replicated per-step work left is the
-O(N) depth sort + elementwise binning prologue inside ``bin_rects``.
+sortless binning's O(N) streaming prologue inside ``bin_rects`` (elementwise
+rects/counts + histogram masks; no depth sort, and the overflow search is
+cond-skipped when the view fits its budget).
 """
 
 from __future__ import annotations
@@ -563,17 +565,32 @@ class ParallelTrainer:
             dstate = D.DensifyState.zero(model.num_gaussians)
             key = _jax.random.key(0)
 
-        def build_step():
+        def build_step(sh_degree=None):
+            cfg = self.raster
+            if sh_degree is not None and sh_degree != cfg.sh_degree:
+                cfg = dataclasses.replace(cfg, sh_degree=sh_degree)
             return make_parallel_train_step(
-                self.mesh, width, height, self.raster, self.train,
+                self.mesh, width, height, cfg, self.train,
                 with_viewspace_grad=dc is not None,
             )
 
-        step_fn, init_state, prepare_targets = build_step()
+        cur_deg = (
+            0 if self.train.sh_warmup_every > 0 else self.raster.sh_degree
+        )
+        step_fn, init_state, prepare_targets = build_step(cur_deg)
         targets_all = [prepare_targets(jnp.stack([t])) for _, t in views]
         opt_state = init_state(model)
         history = []
         for step in progress(range(steps), desc="fit", enabled=self.show_progress):
+            # 3DGS SH warmup: color detail introduced band by band (one
+            # rebuild per degree bump — same schedule as Trainer.fit).
+            if self.train.sh_warmup_every > 0:
+                deg = min(
+                    step // self.train.sh_warmup_every, self.raster.sh_degree
+                )
+                if deg != cur_deg:
+                    step_fn, _, _ = build_step(deg)
+                    cur_deg = deg
             idx = [(step * dp + i) % len(views) for i in range(dp)]
             cams = CameraArrays.stack([cams_all[i] for i in idx])
             targets = jnp.concatenate([targets_all[i] for i in idx], axis=0)
@@ -606,7 +623,7 @@ class ParallelTrainer:
                     if self.check_capacity(
                         model, [cams_all[i] for i in idx], width, height
                     ):
-                        step_fn, _, _ = build_step()
+                        step_fn, _, _ = build_step(cur_deg)
                 if dc.opacity_reset_every and step > 0 and (
                     step % dc.opacity_reset_every == 0
                 ):
@@ -620,7 +637,7 @@ class ParallelTrainer:
                 if step > 0 and self.check_capacity(
                     model, [cams_all[idx[0]]], width, height
                 ):
-                    step_fn, _, _ = build_step()
+                    step_fn, _, _ = build_step(cur_deg)
         if dc is not None:
             from gsplat_tpu.train import densify as D
 

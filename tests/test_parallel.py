@@ -215,6 +215,36 @@ def test_batch_render_matches_single_device(scene, dp, tp):
         )
 
 
+def test_parallel_trainer_sh_warmup(scene):
+    """ParallelTrainer honors TrainConfig.sh_warmup_every like Trainer: the
+    first warmup steps run at SH degree 0, so the loss is insensitive to
+    high-band SH coefficients."""
+    from gsplat_tpu.parallel.shard import ParallelTrainer
+
+    cam = orbit_camera(0.1, width=W, height=H)
+    target = render(scene, cam, CFG)[0]
+    arrays = scene.to_arrays()
+    pert = dict(arrays)
+    pert["sh"] = np.asarray(arrays["sh"]).copy()
+    pert["sh"][:, 1:, :] += 0.5  # change only bands 1-3
+    shifted = GaussianModel.from_arrays(pert)
+    base = GaussianModel.from_arrays(arrays)
+
+    mesh = make_mesh(MeshConfig(data=1, tile=4))
+    tc = TrainConfig(steps=1, ssim_weight=0.0, sh_warmup_every=2, log_every=1)
+
+    def first_loss(m, warmup):
+        t = tc if warmup else TrainConfig(steps=1, ssim_weight=0.0, log_every=1)
+        tr = ParallelTrainer(mesh=mesh, raster=CFG, train=t, show_progress=False)
+        _, hist = tr.fit(m, [(cam, target)], steps=1)
+        return hist[0]["loss"]
+
+    assert first_loss(base, True) == pytest.approx(
+        first_loss(shifted, True), rel=1e-6
+    )
+    assert abs(first_loss(base, False) - first_loss(shifted, False)) > 1e-6
+
+
 @pytest.mark.slow
 def test_parallel_trainer_fit(scene):
     """ParallelTrainer.fit mirrors Trainer.fit on a (data x tile) mesh:
