@@ -326,10 +326,14 @@ def orbit(
 @cli.command()
 @common_options
 @click.option("--output_path", type=str, default="", help="optional metrics.json destination")
+@click.option("--mesh", type=str, default="",
+              help="evaluate over a device mesh, 'DATAxTILE': views sharded "
+                   "over the data axis, tiles within a view over the tile "
+                   "axis (requires all views at one resolution)")
 def evaluate(
     input_dir, trained_model_path, scene_index, scale_factor,
     tile_size, chunk_size, max_pairs, early_stop, backend, auto_pairs,
-    output_path,
+    output_path, mesh,
 ):
     """Render every ground-truth view and report PSNR/SSIM per view + mean
     (quality metrics the reference never published; SURVEY.md §6)."""
@@ -346,6 +350,7 @@ def evaluate(
     from gsplat_tpu.utils.progress import progress
 
     cfg = _raster_config(tile_size, chunk_size, max_pairs, early_stop, backend)
+    mesh_dims = _parse_mesh(mesh) if mesh else None  # fail before scene I/O
     model, _, _, _ = _load_scene(input_dir, trained_model_path, scene_index, scale_factor)
     scenes, cam_info = read_scene(input_dir)
 
@@ -358,23 +363,60 @@ def evaluate(
         gt = jnp.asarray(np.asarray(img, dtype=np.float32) / 255.0)
         cam = CameraParams.from_colmap(scene, cam_info[1], img.size[0], img.size[1])
         views.append((scene.name, cam, gt))
-    # Budget-check every view (any pose can have the peak pair demand).
-    cfg = _check_pairs(model, [cam for _, cam, _ in views], cfg, auto_pairs)
 
     rows = []
-    for name, cam, gt in progress(views, desc="evaluate views"):
-        # render_traced keeps the camera pose as data: one compile serves
-        # every view (poses differ; width/height are shared per dataset).
-        pred, _ = render_traced(
-            model, CameraArrays.from_params(cam), cam.width, cam.height, cfg
+    if mesh_dims is not None:
+        from gsplat_tpu.config import MeshConfig
+        from gsplat_tpu.parallel.mesh import make_mesh
+        from gsplat_tpu.parallel.shard import make_batch_render
+
+        w0, h0 = views[0][1].width, views[0][1].height
+        if any(c.width != w0 or c.height != h0 for _, c, _ in views):
+            raise click.UsageError(
+                "--mesh evaluation requires all views at one resolution"
+            )
+        data, tile = mesh_dims
+        device_mesh = make_mesh(MeshConfig(data=data, tile=tile))
+        cfg = _check_pairs_sharded(
+            model, [c for _, c, _ in views], cfg, auto_pairs, device_mesh
         )
-        row = {
-            "view": name,
-            "psnr": float(psnr(pred, gt)),
-            "ssim": float(ssim(pred, gt)),
-        }
-        rows.append(row)
-        logger.info("%s: psnr=%.2f ssim=%.4f", row["view"], row["psnr"], row["ssim"])
+        render_fn = make_batch_render(device_mesh, w0, h0, cfg)
+        group = max(data * 4, 8)
+        logger.info("evaluating on a %dx%d (data x tile) mesh", data, tile)
+        for i in progress(range(0, len(views), group), desc="evaluate views"):
+            batch = views[i : i + group]
+            cams_b = [CameraArrays.from_params(c) for _, c, _ in batch]
+            n_real = len(cams_b)
+            while len(cams_b) % data:
+                cams_b.append(cams_b[-1])
+            preds, _ = render_fn(model, CameraArrays.stack(cams_b))
+            for (name, _, gt), pred in zip(batch, preds[:n_real]):
+                row = {
+                    "view": name,
+                    "psnr": float(psnr(pred, gt)),
+                    "ssim": float(ssim(pred, gt)),
+                }
+                rows.append(row)
+                logger.info("%s: psnr=%.2f ssim=%.4f",
+                            row["view"], row["psnr"], row["ssim"])
+    else:
+        # Budget-check every view (any pose can have the peak pair demand).
+        cfg = _check_pairs(model, [cam for _, cam, _ in views], cfg, auto_pairs)
+        for name, cam, gt in progress(views, desc="evaluate views"):
+            # render_traced keeps the camera pose as data: one compile
+            # serves every view (poses differ; width/height are shared per
+            # dataset).
+            pred, _ = render_traced(
+                model, CameraArrays.from_params(cam), cam.width, cam.height, cfg
+            )
+            row = {
+                "view": name,
+                "psnr": float(psnr(pred, gt)),
+                "ssim": float(ssim(pred, gt)),
+            }
+            rows.append(row)
+            logger.info("%s: psnr=%.2f ssim=%.4f",
+                        row["view"], row["psnr"], row["ssim"])
     summary = {
         "mean_psnr": float(np.mean([r["psnr"] for r in rows])) if rows else float("nan"),
         "mean_ssim": float(np.mean([r["ssim"] for r in rows])) if rows else float("nan"),

@@ -158,6 +158,28 @@ def test_cli_evaluate(scene_dir, tmp_path):
     assert -1.0 <= metrics["mean_ssim"] <= 1.0
 
 
+def test_cli_evaluate_mesh(scene_dir, tmp_path):
+    """`evaluate --mesh 2x2` computes the same per-view metrics as the
+    single-device path (views batched over the data axis)."""
+    import json
+
+    out1 = str(tmp_path / "eval1")
+    out2 = str(tmp_path / "eval2")
+    r1 = CliRunner().invoke(cli, ["evaluate", *_common(scene_dir, out1)])
+    r2 = CliRunner().invoke(
+        cli, ["evaluate", *_common(scene_dir, out2), "--mesh", "2x2"]
+    )
+    assert r1.exit_code == 0, r1.output + repr(r1.exception)
+    assert r2.exit_code == 0, r2.output + repr(r2.exception)
+    m1 = json.load(open(os.path.join(out1, "metrics.json")))
+    m2 = json.load(open(os.path.join(out2, "metrics.json")))
+    assert len(m1["views"]) == len(m2["views"])
+    for a, b in zip(m1["views"], m2["views"]):
+        assert a["view"] == b["view"]
+        assert abs(a["psnr"] - b["psnr"]) < 1e-3, (a, b)
+        assert abs(a["ssim"] - b["ssim"]) < 1e-5, (a, b)
+
+
 def test_progressive_frames_converge_to_full_render(scene_dir):
     """Incremental slab compositing (C + T*C_slab) must reproduce the full
     render exactly at the last frame, and build up monotonically."""
