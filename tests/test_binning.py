@@ -122,6 +122,22 @@ def test_capacity_overflow_keeps_nearest():
     assert got == [0, 1, 2, 3]  # depth order, nearest kept
 
 
+def test_capacity_boundary_exact_fit_vs_one_over():
+    """total == cap takes the no-overflow lax.cond fast path and keeps every
+    pair; total == cap + 1 runs the threshold search and drops the deepest
+    whole gaussian — the two branches must agree exactly at the boundary."""
+    # 4 gaussians x 1 pair each, one tile, distinct depths.
+    prep = make_prep([[8, 8]] * 4, [4] * 4, [3.0, 1.0, 2.0, 0.5])
+    fit = binning.bin_gaussians(prep, 64, 64, 16, max_pairs=4, align=1)
+    assert int(fit.num_pairs) == 4 and int(fit.pair_demand) == 4
+    pg = np.asarray(fit.pair_gaussian)[:4].tolist()
+    assert pg == [3, 1, 2, 0]  # depth order within the tile
+
+    over = binning.bin_gaussians(prep, 64, 64, 16, max_pairs=3, align=1)
+    assert int(over.num_pairs) == 3 and int(over.pair_demand) == 4
+    assert np.asarray(over.gaussian_counts).tolist() == [0, 1, 1, 1]  # deepest (id 0, depth 3.0) dropped
+
+
 def test_binning_stats_and_suggest_max_pairs():
     """Overflow diagnostics report the unclipped pair demand."""
     import jax.numpy as jnp
