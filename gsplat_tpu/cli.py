@@ -449,11 +449,21 @@ def evaluate(
               help="train on a device mesh, 'DATAxTILE' (e.g. 2x4): camera "
                    "batch sharded over the data axis, framebuffer tiles "
                    "over the tile axis (ParallelTrainer). Empty = one chip")
+@click.option("--background", type=click.Choice(["black", "white", "random"]),
+              default="black",
+              help="training background composited via the residual "
+                   "transmittance ('random' = fresh color per step, the "
+                   "3DGS floater-suppression trick)")
+@click.option("--lr-decay-steps", type=int, default=0,
+              help="decay the position lr log-linearly to --lr-means-final "
+                   "over this many steps (0 = constant, the 3DGS schedule)")
+@click.option("--lr-means-final", type=float, default=1.6e-6)
 def finetune(
     input_dir, trained_model_path, scene_index, scale_factor,
     tile_size, chunk_size, max_pairs, early_stop, backend, auto_pairs,
     output_path, steps, ssim_weight, save_iteration,
     densify, densify_every, densify_grad_threshold, sh_warmup_every, mesh,
+    background, lr_decay_steps, lr_means_final,
 ):
     """Fine-tune the splat model against the scene's ground-truth views
     (BASELINE.json config 4: the full-VJP workload)."""
@@ -464,7 +474,7 @@ def finetune(
     _run_training(
         model, views, cfg, auto_pairs, output_path, steps, ssim_weight,
         save_iteration, densify, densify_every, densify_grad_threshold,
-        sh_warmup_every, mesh,
+        sh_warmup_every, mesh, background, lr_decay_steps, lr_means_final,
     )
 
 
@@ -488,12 +498,21 @@ def finetune(
               help="train on a device mesh, 'DATAxTILE' (e.g. 2x4): camera "
                    "batch sharded over the data axis, framebuffer tiles "
                    "over the tile axis (ParallelTrainer). Empty = one chip")
+@click.option("--background", type=click.Choice(["black", "white", "random"]),
+              default="black",
+              help="training background composited via the residual "
+                   "transmittance ('random' = fresh color per step, the "
+                   "3DGS floater-suppression trick)")
+@click.option("--lr-decay-steps", type=int, default=0,
+              help="decay the position lr log-linearly to --lr-means-final "
+                   "over this many steps (0 = constant, the 3DGS schedule)")
+@click.option("--lr-means-final", type=float, default=1.6e-6)
 def train(
     input_dir, trained_model_path, scene_index, scale_factor,
     tile_size, chunk_size, max_pairs, early_stop, backend, auto_pairs,
     output_path, steps, ssim_weight, save_iteration,
     densify, densify_every, densify_grad_threshold, sh_warmup_every,
-    initial_opacity, mesh,
+    initial_opacity, mesh, background, lr_decay_steps, lr_means_final,
 ):
     """Train a splat model FROM SCRATCH: initialize from the scene's COLMAP
     SfM points (sparse/0/points3D) and optimize against its ground-truth
@@ -528,7 +547,7 @@ def train(
     _run_training(
         model, views, cfg, auto_pairs, output_path, steps, ssim_weight,
         save_iteration, densify, densify_every, densify_grad_threshold,
-        sh_warmup_every, mesh,
+        sh_warmup_every, mesh, background, lr_decay_steps, lr_means_final,
     )
 
 
@@ -557,7 +576,8 @@ def _load_views(input_dir, scale_factor):
 def _run_training(
     model, views, cfg, auto_pairs, output_path, steps, ssim_weight,
     save_iteration, densify, densify_every, densify_grad_threshold,
-    sh_warmup_every, mesh="",
+    sh_warmup_every, mesh="", background="black", lr_decay_steps=0,
+    lr_means_final=1.6e-6,
 ):
     from gsplat_tpu.config import DensifyConfig
     from gsplat_tpu.train.checkpoint import save_ply_checkpoint
@@ -571,7 +591,9 @@ def _run_training(
     )
     train_cfg = TrainConfig(
         steps=steps, ssim_weight=ssim_weight, densify=dcfg,
-        sh_warmup_every=sh_warmup_every,
+        sh_warmup_every=sh_warmup_every, background=background,
+        lr_means_decay_steps=lr_decay_steps,
+        lr_means_final=lr_means_final if lr_decay_steps > 0 else 0.0,
     )
     if mesh:
         from gsplat_tpu.config import MeshConfig

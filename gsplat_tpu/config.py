@@ -139,7 +139,19 @@ class TrainConfig:
     lr_quats: float = 1e-3
     lr_opacity: float = 5e-2
     lr_sh: float = 2.5e-3
+    # 3DGS position-lr schedule: exponential (log-linear) decay of lr_means
+    # down to lr_means_final over lr_means_decay_steps optimizer updates,
+    # clamped there after (3DGS defaults: 1.6e-4 -> 1.6e-6 over 30k steps,
+    # both pre-scaled by the scene extent). 0 steps = constant lr.
+    lr_means_final: float = 0.0
+    lr_means_decay_steps: int = 0
     ssim_weight: float = 0.2  # loss = (1-w)*L1 + w*(1-SSIM)
+    # Training background: the renderer composites onto this color via the
+    # residual transmittance (image + T * bg). "black" is the reference's
+    # implicit background (framebuffer zeros, rasterize.py:437); "white"
+    # suits white-matted captures; "random" draws a fresh color every step
+    # (3DGS's --random_background floater suppression).
+    background: str = "black"
     steps: int = 1000
     log_every: int = 50
     checkpoint_every: int = 500

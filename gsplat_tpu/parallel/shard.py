@@ -338,11 +338,13 @@ def make_parallel_train_step(
     """Build a (data x tile)-parallel train step.
 
     Returns (train_step, init_state, prepare_targets):
-      * ``train_step(model, opt_state, cams, targets_tiles)`` consumes a
-        camera batch (stacked CameraArrays, leaves [B, ...]; B divisible by
-        the data axis) and pre-tiled targets [B, tp*T_l, npix, 3]
-        (from ``prepare_targets``), and applies one optimizer update from
-        gradients psum'd over the whole mesh.
+      * ``train_step(model, opt_state, cams, targets_tiles, bg=None)``
+        consumes a camera batch (stacked CameraArrays, leaves [B, ...]; B
+        divisible by the data axis) and pre-tiled targets
+        [B, tp*T_l, npix, 3] (from ``prepare_targets``), and applies one
+        optimizer update from gradients psum'd over the whole mesh. ``bg``
+        ([3], replicated) is composited via the residual transmittance
+        (TrainConfig.background; None = black, the reference default).
       * loss is (1-w)*L1 + w*(1-SSIM); under tile sharding the frame is
         all-gathered across the tile axis for the windowed SSIM term (one
         image of ICI traffic per camera);
@@ -371,22 +373,24 @@ def make_parallel_train_step(
         jnp.asarray(valid_src)[:, None], mask_tiles[jnp.asarray(safe_src)], 0.0
     )  # [tp*T_l, npix]
 
-    def local_loss(model_p, off_p, cams_l, targets_l, mask_l, n_local):
+    def local_loss(model_p, off_p, cams_l, targets_l, mask_l, bg, n_local):
         """Loss contribution of one device: its cameras x its tile slab.
 
         model_p: replicated padded model; off_p: this data row's viewspace
         probes [Bl, N_pad, 2] (per camera — each view's probe gradient stays
         a separate sample); cams_l: CameraArrays leaves [Bl, ...];
         targets_l: [Bl, T_l, npix, 3]; mask_l: [T_l, npix] pixel validity
-        of this shard's tiles. Returns (mean loss, mean mse), psum'd over
-        the whole mesh.
+        of this shard's tiles; bg: replicated background color [3]
+        (TrainConfig.background). Returns (mean loss, mean mse), psum'd
+        over the whole mesh.
         """
 
         def one_camera(args):
             cam, target_tiles, off_row = args
-            color, _ = _shard_render_tiles(
+            color, trans = _shard_render_tiles(
                 model_p, cam, lay, width, height, raster_cfg, n_local, off_row
             )
+            color = color + trans[..., None] * bg
             npixels = width * height * 3
             mse = jnp.sum(((color - target_tiles) ** 2) * mask_l[:, :, None]) / npixels
             if train_cfg.ssim_weight > 0.0:
@@ -427,11 +431,11 @@ def make_parallel_train_step(
         return loss, mse
 
     @jax.jit
-    def train_step(model, opt_state, cams, targets_tiles):
+    def _train_step(model, opt_state, cams, targets_tiles, bg):
         n_local = -(-model.num_gaussians // tp)
 
         sharded_loss = jax.shard_map(
-            lambda m, o, c, t, k: local_loss(m, o, c, t, k, n_local),
+            lambda m, o, c, t, k, b: local_loss(m, o, c, t, k, b, n_local),
             mesh=mesh,
             in_specs=(
                 P(),  # padded model (replicated)
@@ -439,6 +443,7 @@ def make_parallel_train_step(
                 P(DATA_AXIS),  # cameras
                 P(DATA_AXIS, TILE_AXIS),  # target tiles (stacked shard order)
                 P(TILE_AXIS),  # pixel-mask slab
+                P(),  # background color (replicated)
             ),
             out_specs=(P(), P()),
             check_vma=False,  # loop carries start mesh-invariant, become varying
@@ -449,7 +454,7 @@ def make_parallel_train_step(
 
         def loss_fn(m, off):
             m_p = _pad_model(m, n_local * tp)
-            return sharded_loss(m_p, off, cams, targets_tiles, pixel_mask)
+            return sharded_loss(m_p, off, cams, targets_tiles, pixel_mask, bg)
 
         (loss, mse), (grads, vs_grad) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
@@ -467,6 +472,14 @@ def make_parallel_train_step(
                 vs_grad[:, : model.num_gaussians] * batch,
             )
         return model, new_opt_state, metrics
+
+    def train_step(model, opt_state, cams, targets_tiles, bg=None):
+        """One sharded update. ``bg``: background color [3] composited via
+        the residual transmittance (defaults to black — the reference's
+        implicit framebuffer, rasterize.py:437)."""
+        if bg is None:
+            bg = jnp.zeros((3,), jnp.float32)
+        return _train_step(model, opt_state, cams, targets_tiles, bg)
 
     def init_state(model):
         return optimizer.init(model)
@@ -499,6 +512,23 @@ class ParallelTrainer:
     auto_pairs: bool = True
     show_progress: bool = True
     _stats_fn: object = None  # cached per-shard demand probe (check_capacity)
+
+    def __post_init__(self):
+        if self.train.background not in ("black", "white", "random"):
+            raise ValueError(
+                f"TrainConfig.background must be black|white|random, "
+                f"got {self.train.background!r}"
+            )
+        self._bg_rng = np.random.default_rng(0)
+
+    def draw_background(self) -> jnp.ndarray:
+        """This step's background color [3] (one draw per step, shared by
+        every camera of the batch — the 3DGS random-background convention)."""
+        if self.train.background == "white":
+            return jnp.ones((3,), jnp.float32)
+        if self.train.background == "random":
+            return jnp.asarray(self._bg_rng.uniform(size=3).astype(np.float32))
+        return jnp.zeros((3,), jnp.float32)
 
     def check_capacity(self, model, cams, width, height) -> bool:
         """Measure the MAX per-shard pair demand of the strided binning over
@@ -594,11 +624,14 @@ class ParallelTrainer:
             idx = [(step * dp + i) % len(views) for i in range(dp)]
             cams = CameraArrays.stack([cams_all[i] for i in idx])
             targets = jnp.concatenate([targets_all[i] for i in idx], axis=0)
+            bg = self.draw_background()
             if dc is None:
-                model, opt_state, metrics = step_fn(model, opt_state, cams, targets)
+                model, opt_state, metrics = step_fn(
+                    model, opt_state, cams, targets, bg
+                )
             else:
                 model, opt_state, metrics, vs = step_fn(
-                    model, opt_state, cams, targets
+                    model, opt_state, cams, targets, bg
                 )
                 # vs is [B, N, 2], one row per camera of the batch: fold each
                 # view in as its own sample (identical counting to the

@@ -15,6 +15,7 @@ from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from gsplat_tpu.config import RasterConfig, TrainConfig
@@ -30,7 +31,26 @@ logger = get_logger()
 
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
     """Adam with the 3DGS per-parameter learning rates, expressed as an
-    optax multi_transform over the GaussianModel pytree."""
+    optax multi_transform over the GaussianModel pytree.
+
+    With ``lr_means_decay_steps > 0`` the means' learning rate follows the
+    3DGS position schedule — log-linear decay from ``lr_means`` to
+    ``lr_means_final`` over that many updates, clamped thereafter (the
+    exp-of-lerped-logs helper in the Inria trainer; the reference itself
+    has no optimizer, rasterize.py is inference-only)."""
+    lr_means = tc.lr_means
+    if tc.lr_means_decay_steps > 0:
+        if not 0.0 < tc.lr_means_final <= tc.lr_means:
+            raise ValueError(
+                "lr_means_final must be in (0, lr_means] when "
+                f"lr_means_decay_steps > 0, got {tc.lr_means_final}"
+            )
+        lr_means = optax.exponential_decay(
+            init_value=tc.lr_means,
+            transition_steps=tc.lr_means_decay_steps,
+            decay_rate=tc.lr_means_final / tc.lr_means,
+            end_value=tc.lr_means_final,
+        )
     labels = GaussianModel(
         means="means",
         log_scales="log_scales",
@@ -40,7 +60,7 @@ def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
     )
     return optax.multi_transform(
         {
-            "means": optax.adam(tc.lr_means),
+            "means": optax.adam(lr_means),
             "log_scales": optax.adam(tc.lr_scales),
             "quats": optax.adam(tc.lr_quats),
             "opacity_logits": optax.adam(tc.lr_opacity),
@@ -70,15 +90,22 @@ class Trainer:
     show_progress: bool = True
 
     def __post_init__(self):
+        if self.train.background not in ("black", "white", "random"):
+            raise ValueError(
+                f"TrainConfig.background must be black|white|random, "
+                f"got {self.train.background!r}"
+            )
+        self._bg_rng = np.random.default_rng(0)
         self.optimizer = make_optimizer(self.train)
 
         # The camera pose is traced data (CameraArrays), so ONE compile per
         # (image size, raster config) serves every view — a static
         # CameraParams would retrace the whole pipeline for each pose.
         @partial(jax.jit, static_argnames=("width", "height", "cfg"))
-        def _step(model, opt_state, cam, target, width, height, cfg):
+        def _step(model, opt_state, cam, target, bg, width, height, cfg):
             def loss_fn(m):
-                image, _ = render_traced(m, cam, width, height, cfg)
+                image, trans = render_traced(m, cam, width, height, cfg)
+                image = image + trans[..., None] * bg
                 return rgb_loss(image, target, self.train.ssim_weight), image
 
             (loss, image), grads = jax.value_and_grad(loss_fn, has_aux=True)(model)
@@ -93,11 +120,12 @@ class Trainer:
         # an all-zero pixel-space offset on the projected means — the exact
         # viewspace gradient 3DGS's densification heuristic accumulates.
         @partial(jax.jit, static_argnames=("width", "height", "cfg"))
-        def _step_vs(model, opt_state, cam, target, width, height, cfg):
+        def _step_vs(model, opt_state, cam, target, bg, width, height, cfg):
             offset = jnp.zeros((model.num_gaussians, 2), model.means.dtype)
 
             def loss_fn(m, off):
-                image, _ = render_traced(m, cam, width, height, cfg, off)
+                image, trans = render_traced(m, cam, width, height, cfg, off)
+                image = image + trans[..., None] * bg
                 return rgb_loss(image, target, self.train.ssim_weight), image
 
             (loss, image), (grads, vs_grad) = jax.value_and_grad(
@@ -113,6 +141,17 @@ class Trainer:
     def init_state(self, model: GaussianModel):
         return self.optimizer.init(model)
 
+    def draw_background(self) -> jnp.ndarray:
+        """This step's background color [3] per ``TrainConfig.background``
+        ("random" draws a fresh color from the trainer's host RNG)."""
+        if self.train.background == "white":
+            return jnp.ones((3,), jnp.float32)
+        if self.train.background == "random":
+            return jnp.asarray(
+                self._bg_rng.uniform(size=3).astype(np.float32)
+            )
+        return jnp.zeros((3,), jnp.float32)
+
     def train_step(
         self,
         model: GaussianModel,
@@ -124,7 +163,8 @@ class Trainer:
         (model, opt_state, metrics)."""
         cam = CameraArrays.from_params(camera, dtype=model.means.dtype)
         return self._step(
-            model, opt_state, cam, target, camera.width, camera.height, self.raster
+            model, opt_state, cam, target, self.draw_background(),
+            camera.width, camera.height, self.raster,
         )
 
     def check_capacity(
@@ -194,15 +234,16 @@ class Trainer:
                 if deg != self.raster.sh_degree:
                     step_cfg = dataclasses.replace(self.raster, sh_degree=deg)
             cam = CameraArrays.from_params(camera, dtype=model.means.dtype)
+            bg = self.draw_background()
             if dc is None:
                 model, opt_state, metrics = self._step(
-                    model, opt_state, cam, target, camera.width, camera.height,
-                    step_cfg,
+                    model, opt_state, cam, target, bg, camera.width,
+                    camera.height, step_cfg,
                 )
             else:
                 model, opt_state, metrics, vs_grad = self._step_vs(
-                    model, opt_state, cam, target, camera.width, camera.height,
-                    step_cfg,
+                    model, opt_state, cam, target, bg, camera.width,
+                    camera.height, step_cfg,
                 )
                 dstate = D.accumulate(dstate, vs_grad, camera.width, camera.height)
                 in_window = dc.start <= step < dc.until

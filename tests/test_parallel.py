@@ -376,3 +376,33 @@ def test_parallel_trainer_resizes_on_hot_shard():
     )
     trainer.fit(model, [(camera, target)])
     assert trainer.raster.max_pairs >= hot, (trainer.raster.max_pairs, hot)
+
+
+def test_parallel_background_compositing():
+    """The sharded step composites image + T*bg identically to the
+    single-host Trainer: a fully transparent scene against white GT views
+    has L1 loss 1 with the default black background and 0 when the step is
+    handed a white one (each tile shard composites its own slab before the
+    loss)."""
+    rng = np.random.default_rng(14)
+    arrays = random_splat_arrays(rng, 40)
+    arrays["opacity_logits"] = np.full_like(arrays["opacity_logits"], -12.0)
+    model = GaussianModel.from_arrays(arrays)
+
+    mesh = make_mesh(MeshConfig(data=2, tile=2))
+    cameras = [orbit_camera(0.1 * i, width=W, height=H) for i in range(2)]
+    cams = CameraArrays.stack([CameraArrays.from_params(c) for c in cameras])
+    targets = jnp.ones((2, H, W, 3), jnp.float32)
+
+    train_step, init_state, prepare_targets = make_parallel_train_step(
+        mesh, W, H, CFG, TrainConfig(ssim_weight=0.0)
+    )
+    tiles = prepare_targets(targets)
+    opt_state = init_state(model)
+
+    _, _, black = train_step(model, opt_state, cams, tiles)
+    assert float(black["loss"]) == pytest.approx(1.0, abs=1e-5)
+    _, _, white = train_step(
+        model, opt_state, cams, tiles, jnp.ones((3,), jnp.float32)
+    )
+    assert float(white["loss"]) == pytest.approx(0.0, abs=1e-5)

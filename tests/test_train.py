@@ -378,3 +378,74 @@ def test_train_from_points_reaches_psnr_bar(tmp_path):
     end_psnr = float(psnr(render(out, cams[0], CFG)[0], views[0][1]))
     assert np.isfinite([h["loss"] for h in history]).all()
     assert end_psnr > start_psnr + 3.0, (start_psnr, end_psnr)
+
+
+def test_lr_means_decay_schedule():
+    """The 3DGS position-lr schedule: with constant unit gradients Adam's
+    means update magnitude is ~lr, so after ``lr_means_decay_steps`` updates
+    it must have decayed from lr_means to lr_means_final (and clamp there),
+    while every other parameter's lr stays constant."""
+    import jax
+    from gsplat_tpu.train.trainer import make_optimizer
+
+    tc = TrainConfig(lr_means=1e-2, lr_means_final=1e-4, lr_means_decay_steps=50)
+    opt = make_optimizer(tc)
+    rng = np.random.default_rng(11)
+    model = GaussianModel.from_arrays(random_splat_arrays(rng, 16))
+    grads = jax.tree.map(jnp.ones_like, model)
+    state = opt.init(model)
+
+    mags = []
+    sh_mags = []
+    for _ in range(60):
+        updates, state = opt.update(grads, state, model)
+        mags.append(float(jnp.abs(updates.means).mean()))
+        sh_mags.append(float(jnp.abs(updates.sh).mean()))
+    # update k consumes schedule count k: lr(k) = init * rate^(k/steps)
+    assert mags[0] == pytest.approx(1e-2, rel=1e-3)
+    assert mags[25] == pytest.approx(1e-2 * 1e-2 ** (25 / 50), rel=0.02)
+    assert mags[50] == pytest.approx(1e-4, rel=0.02)
+    assert mags[59] == pytest.approx(1e-4, rel=0.02)  # clamped past the window
+    assert sh_mags[0] == pytest.approx(sh_mags[59], rel=1e-3)
+
+    with pytest.raises(ValueError):
+        make_optimizer(TrainConfig(lr_means_decay_steps=10, lr_means_final=0.0))
+
+
+def _transparent_views(rng, n=40):
+    """A fully transparent model (every alpha below MIN_ALPHA) and a white
+    GT view: the rendered image is exactly the background color."""
+    arrays = random_splat_arrays(rng, n)
+    arrays["opacity_logits"] = np.full_like(arrays["opacity_logits"], -12.0)
+    model = GaussianModel.from_arrays(arrays)
+    cam = orbit_camera(0.0, width=48, height=32)
+    target = jnp.ones((32, 48, 3), jnp.float32)
+    return model, cam, target
+
+
+@pytest.mark.parametrize("background,want_loss", [("black", 1.0), ("white", 0.0)])
+def test_trainer_background_compositing(background, want_loss):
+    """image + T*bg: a transparent scene against a white GT has L1 loss 1
+    on the (reference-default) black background and 0 on white."""
+    rng = np.random.default_rng(12)
+    model, cam, target = _transparent_views(rng)
+    tc = TrainConfig(ssim_weight=0.0, background=background)
+    trainer = Trainer(raster=CFG, train=tc, show_progress=False)
+    state = trainer.init_state(model)
+    _, _, metrics = trainer.train_step(model, state, cam, target)
+    assert float(metrics["loss"]) == pytest.approx(want_loss, abs=1e-5)
+
+
+def test_trainer_background_random_draws():
+    """'random' draws a fresh background every step, deterministically per
+    trainer seed; invalid choices are rejected up front."""
+    tc = TrainConfig(background="random")
+    t1 = Trainer(raster=CFG, train=tc, show_progress=False)
+    t2 = Trainer(raster=CFG, train=tc, show_progress=False)
+    a, b = t1.draw_background(), t1.draw_background()
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(t2.draw_background()), np.asarray(a))
+    assert np.all((np.asarray(a) >= 0) & (np.asarray(a) <= 1))
+
+    with pytest.raises(ValueError):
+        Trainer(raster=CFG, train=TrainConfig(background="blue"))
