@@ -94,16 +94,19 @@ def build_scene(n: int, scale_shift: float = 0.0):
     return jax.jit(gen)(float(scale_shift))
 
 
-def sized_capacity(model, cam, headroom: float = 1.5, width=None, height=None) -> tuple:
+def sized_capacity(
+    model, cam, headroom: float = 1.5, width=None, height=None, tile_size=32
+) -> tuple:
     """(capacity, demand): measured pair demand times ``headroom``,
     pair_block-aligned. width/height default to the module's (patchable)
-    headline resolution at call time."""
+    headline resolution at call time. Demand grows as ``tile_size`` shrinks
+    (each splat covers more, smaller tiles), so the probe must match."""
     from gsplat_tpu import RasterConfig
     from gsplat_tpu.render.pipeline import binning_stats
 
     width = WIDTH if width is None else width
     height = HEIGHT if height is None else height
-    probe = RasterConfig(tile_size=32, chunk_size=32, max_pairs=1 << 20)
+    probe = RasterConfig(tile_size=tile_size, chunk_size=32, max_pairs=1 << 20)
     demand = int(binning_stats(model, cam, width, height, probe)["pair_demand"])
     return max(int(demand * headroom) // 128 * 128, CAPACITY_FLOOR), demand
 

@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--slack", type=float, default=1.05)
     ap.add_argument("--early-stop", type=float, default=1e-4)
     ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--tile-size", type=int, default=32,
+                    help="raster tile edge (16 quarters per-pair pixel work "
+                         "at some pair-count growth; re-test at each density)")
     args = ap.parse_args()
     it = args.iters
 
@@ -52,11 +55,13 @@ def main():
 
     cam = CameraArrays.from_params(bench_camera())
     target = jnp.zeros((HEIGHT, WIDTH, 3), jnp.float32) + 0.25
-    cap, demand = sized_capacity(model, cam, headroom=args.slack)
-    log(f"demand={demand} ({demand/args.n:.2f} pairs/g) cap={cap}")
+    ts = args.tile_size
+    cap, demand = sized_capacity(model, cam, headroom=args.slack,
+                                 tile_size=ts)
+    log(f"demand={demand} ({demand/args.n:.2f} pairs/g) cap={cap} ts={ts}")
 
     cfg = RasterConfig(
-        tile_size=32, chunk_size=32, max_pairs=cap,
+        tile_size=ts, chunk_size=32, max_pairs=cap,
         early_stop_transmittance=args.early_stop,
         use_pallas=jax.default_backend() == "tpu",
         reduce_pairs=cap // 4,
@@ -127,7 +132,7 @@ def main():
     t_bwd, _ = bwd(cfg)
     log(f"bwd kernel+compact-reduce {t_bwd*1e3:6.1f} ms")
     t_bwd_full, _ = bwd(RasterConfig(
-        tile_size=32, chunk_size=32, max_pairs=cap,
+        tile_size=ts, chunk_size=32, max_pairs=cap,
         early_stop_transmittance=args.early_stop,
         use_pallas=jax.default_backend() == "tpu", reduce_pairs=0,
     ))

@@ -110,6 +110,22 @@ def test_cli_finetune_mesh(scene_dir, tmp_path):
     )
 
 
+def test_cli_train_background_and_lr_decay(scene_dir, tmp_path):
+    """`--background white --lr-decay-steps N` reach TrainConfig: the run
+    completes and writes the checkpoint (the schedule/compositing semantics
+    themselves are pinned in test_train.py)."""
+    out = str(tmp_path / "trbg")
+    result = CliRunner().invoke(
+        cli, ["train", *_common(scene_dir, out), "--steps", "3", "--no-densify",
+              "--background", "white", "--lr-decay-steps", "3",
+              "--lr-means-final", "1.6e-6"]
+    )
+    assert result.exit_code == 0, result.output + repr(result.exception)
+    assert os.path.exists(
+        os.path.join(out, "point_cloud/iteration_30000/point_cloud.ply")
+    )
+
+
 def test_cli_orbit(scene_dir, tmp_path):
     out = str(tmp_path / "orbit")
     result = CliRunner().invoke(
