@@ -179,10 +179,14 @@ def cli():
 @click.option("--output_path", type=str, default="")
 @click.option("--generate_video", is_flag=True, type=bool, default=False)
 @click.option("--show/--no-show", default=True, help="display the matplotlib comparison figure")
+@click.option("--mesh", type=str, default="",
+              help="render over a device mesh, '1xTILE': the frame's tile "
+                   "grid sharded over the tile axis (single view, so the "
+                   "data axis must be 1). Empty = one chip")
 def render(
     input_dir, trained_model_path, scene_index, scale_factor,
     tile_size, chunk_size, max_pairs, early_stop, backend, auto_pairs,
-    output_path, generate_video, show,
+    output_path, generate_video, show, mesh,
 ):
     """Render one scene view next to its ground-truth photo."""
     import matplotlib
@@ -195,12 +199,31 @@ def render(
     from gsplat_tpu.render.pipeline import render as render_fn
     from gsplat_tpu.utils import video as videolib
 
+    mesh_dims = _parse_mesh(mesh) if mesh else None  # fail before scene I/O
+    if mesh_dims is not None and mesh_dims[0] != 1:
+        raise click.BadParameter(
+            "render is a single view: --mesh must be 1xTILE "
+            f"(got {mesh_dims[0]}x{mesh_dims[1]}; use orbit/evaluate for "
+            "data-parallel batches)"
+        )
     cfg = _raster_config(tile_size, chunk_size, max_pairs, early_stop, backend)
     model, camera, gt, gt_img_path = _load_scene(
         input_dir, trained_model_path, scene_index, scale_factor
     )
-    cfg = _check_pairs(model, camera, cfg, auto_pairs)
-    image, _ = render_fn(model, camera, cfg)
+    if mesh_dims is not None:
+        from gsplat_tpu.config import MeshConfig
+        from gsplat_tpu.ops.camera import CameraArrays
+        from gsplat_tpu.parallel.mesh import make_mesh
+        from gsplat_tpu.parallel.shard import make_sharded_render
+
+        device_mesh = make_mesh(MeshConfig(data=1, tile=mesh_dims[1]))
+        cfg = _check_pairs_sharded(model, camera, cfg, auto_pairs, device_mesh)
+        sharded = make_sharded_render(device_mesh, camera.width, camera.height, cfg)
+        image, _ = sharded(model, CameraArrays.from_params(camera))
+        logger.info("rendered on a 1x%d (data x tile) mesh", mesh_dims[1])
+    else:
+        cfg = _check_pairs(model, camera, cfg, auto_pairs)
+        image, _ = render_fn(model, camera, cfg)
     image = np.asarray(image)
     logger.info("rendered %dx%d from %d gaussians", camera.width, camera.height, model.num_gaussians)
 

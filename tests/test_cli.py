@@ -46,6 +46,24 @@ def test_cli_render(scene_dir, tmp_path):
     assert os.path.exists(os.path.join(out, "comparison.png"))
 
 
+def test_cli_render_mesh(scene_dir, tmp_path):
+    """`render --mesh 1x4` shards the frame's tile grid over the virtual
+    mesh and writes the same artifacts; a data axis > 1 is rejected up
+    front (single view)."""
+    out = str(tmp_path / "out_mesh")
+    result = CliRunner().invoke(
+        cli, ["render", *_common(scene_dir, out), "--no-show", "--mesh", "1x4"]
+    )
+    assert result.exit_code == 0, result.output + repr(result.exception)
+    assert os.path.exists(os.path.join(out, "render.png"))
+
+    bad = CliRunner().invoke(
+        cli, ["render", *_common(scene_dir, out), "--no-show", "--mesh", "2x2"]
+    )
+    assert bad.exit_code != 0
+    assert "1xTILE" in bad.output
+
+
 def test_cli_render_video(scene_dir, tmp_path):
     out = str(tmp_path / "vid")
     result = CliRunner().invoke(
