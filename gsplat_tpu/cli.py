@@ -481,12 +481,17 @@ def evaluate(
               help="decay the position lr log-linearly to --lr-means-final "
                    "over this many steps (0 = constant, the 3DGS schedule)")
 @click.option("--lr-means-final", type=float, default=1.6e-6)
+@click.option("--lr-scale-extent/--no-lr-scale-extent", default=False,
+              help="multiply the position lr (and its decay floor) by the "
+                   "scene extent (1.1x the camera-center bounding-sphere "
+                   "radius) -- 3DGS's spatial_lr_scale; its lr defaults "
+                   "assume this on real scenes")
 def finetune(
     input_dir, trained_model_path, scene_index, scale_factor,
     tile_size, chunk_size, max_pairs, early_stop, backend, auto_pairs,
     output_path, steps, ssim_weight, save_iteration,
     densify, densify_every, densify_grad_threshold, sh_warmup_every, mesh,
-    background, lr_decay_steps, lr_means_final,
+    background, lr_decay_steps, lr_means_final, lr_scale_extent,
 ):
     """Fine-tune the splat model against the scene's ground-truth views
     (BASELINE.json config 4: the full-VJP workload)."""
@@ -498,6 +503,7 @@ def finetune(
         model, views, cfg, auto_pairs, output_path, steps, ssim_weight,
         save_iteration, densify, densify_every, densify_grad_threshold,
         sh_warmup_every, mesh, background, lr_decay_steps, lr_means_final,
+        lr_scale_extent,
     )
 
 
@@ -530,12 +536,18 @@ def finetune(
               help="decay the position lr log-linearly to --lr-means-final "
                    "over this many steps (0 = constant, the 3DGS schedule)")
 @click.option("--lr-means-final", type=float, default=1.6e-6)
+@click.option("--lr-scale-extent/--no-lr-scale-extent", default=False,
+              help="multiply the position lr (and its decay floor) by the "
+                   "scene extent (1.1x the camera-center bounding-sphere "
+                   "radius) -- 3DGS's spatial_lr_scale; its lr defaults "
+                   "assume this on real scenes")
 def train(
     input_dir, trained_model_path, scene_index, scale_factor,
     tile_size, chunk_size, max_pairs, early_stop, backend, auto_pairs,
     output_path, steps, ssim_weight, save_iteration,
     densify, densify_every, densify_grad_threshold, sh_warmup_every,
     initial_opacity, mesh, background, lr_decay_steps, lr_means_final,
+    lr_scale_extent,
 ):
     """Train a splat model FROM SCRATCH: initialize from the scene's COLMAP
     SfM points (sparse/0/points3D) and optimize against its ground-truth
@@ -571,6 +583,7 @@ def train(
         model, views, cfg, auto_pairs, output_path, steps, ssim_weight,
         save_iteration, densify, densify_every, densify_grad_threshold,
         sh_warmup_every, mesh, background, lr_decay_steps, lr_means_final,
+        lr_scale_extent,
     )
 
 
@@ -600,7 +613,7 @@ def _run_training(
     model, views, cfg, auto_pairs, output_path, steps, ssim_weight,
     save_iteration, densify, densify_every, densify_grad_threshold,
     sh_warmup_every, mesh="", background="black", lr_decay_steps=0,
-    lr_means_final=1.6e-6,
+    lr_means_final=1.6e-6, lr_scale_extent=False,
 ):
     from gsplat_tpu.config import DensifyConfig
     from gsplat_tpu.train.checkpoint import save_ply_checkpoint
@@ -612,11 +625,19 @@ def _run_training(
         if densify
         else None
     )
+    extent = 1.0
+    if lr_scale_extent:
+        from gsplat_tpu.train.trainer import scene_extent
+
+        extent = scene_extent([camera for camera, _ in views])
+        logger.info("scene extent %.3f: position lr scaled accordingly", extent)
+    base = TrainConfig()
     train_cfg = TrainConfig(
         steps=steps, ssim_weight=ssim_weight, densify=dcfg,
         sh_warmup_every=sh_warmup_every, background=background,
+        lr_means=base.lr_means * extent,
         lr_means_decay_steps=lr_decay_steps,
-        lr_means_final=lr_means_final if lr_decay_steps > 0 else 0.0,
+        lr_means_final=lr_means_final * extent if lr_decay_steps > 0 else 0.0,
     )
     if mesh:
         from gsplat_tpu.config import MeshConfig

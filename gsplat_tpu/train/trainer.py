@@ -29,6 +29,25 @@ from gsplat_tpu.utils.progress import progress
 logger = get_logger()
 
 
+def scene_extent(cameras) -> float:
+    """3DGS's ``spatial_lr_scale`` (the Inria trainer's getNerfppNorm):
+    1.1x the radius of the camera-center bounding sphere around the
+    centroid. The 3DGS position-lr defaults (1.6e-4 decaying to 1.6e-6)
+    are calibrated to be *multiplied by this* on real scenes. The torch
+    reference has no trainer (rasterize.py is inference-only), so the
+    scale is an explicit helper + CLI flag (``--lr-scale-extent``) rather
+    than something silently applied."""
+    from gsplat_tpu.ops.camera import camera_center
+
+    centers = np.stack(
+        [np.asarray(camera_center(cam.matrices()[0])) for cam in cameras]
+    )
+    radius = float(
+        np.linalg.norm(centers - centers.mean(axis=0), axis=1).max()
+    )
+    return 1.1 * max(radius, 1e-6)
+
+
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
     """Adam with the 3DGS per-parameter learning rates, expressed as an
     optax multi_transform over the GaussianModel pytree.

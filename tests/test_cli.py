@@ -144,6 +144,20 @@ def test_cli_train_background_and_lr_decay(scene_dir, tmp_path):
     )
 
 
+def test_cli_train_lr_scale_extent(scene_dir, tmp_path):
+    """`--lr-scale-extent` multiplies the position lr by the camera-extent
+    radius (3DGS spatial_lr_scale) and the run still completes."""
+    out = str(tmp_path / "trext")
+    result = CliRunner().invoke(
+        cli, ["train", *_common(scene_dir, out), "--steps", "2", "--no-densify",
+              "--lr-scale-extent"]
+    )
+    assert result.exit_code == 0, result.output + repr(result.exception)
+    assert os.path.exists(
+        os.path.join(out, "point_cloud/iteration_30000/point_cloud.ply")
+    )
+
+
 def test_cli_orbit(scene_dir, tmp_path):
     out = str(tmp_path / "orbit")
     result = CliRunner().invoke(

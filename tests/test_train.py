@@ -412,6 +412,25 @@ def test_lr_means_decay_schedule():
         make_optimizer(TrainConfig(lr_means_decay_steps=10, lr_means_final=0.0))
 
 
+def test_scene_extent():
+    """3DGS spatial_lr_scale: 1.1x the max camera-center distance from the
+    centroid. Identity-rotation cameras put the center at -tvec."""
+    from gsplat_tpu.ops.camera import CameraParams
+    from gsplat_tpu.train.trainer import scene_extent
+
+    def cam(tvec):
+        return CameraParams(
+            width=8, height=8, fov_x=1.0, fov_y=1.0, focal_x=4.0, focal_y=4.0,
+            qvec=(1.0, 0.0, 0.0, 0.0), tvec=tvec,
+        )
+
+    # centers (0,0,0) and (0,0,-4): centroid (0,0,-2), radius 2
+    ext = scene_extent([cam((0.0, 0.0, 0.0)), cam((0.0, 0.0, 4.0))])
+    assert ext == pytest.approx(2.2, rel=1e-5)
+    # a single camera degenerates to the floor, not zero
+    assert scene_extent([cam((1.0, 2.0, 3.0))]) > 0.0
+
+
 def _transparent_views(rng, n=40):
     """A fully transparent model (every alpha below MIN_ALPHA) and a white
     GT view: the rendered image is exactly the background color."""
