@@ -486,12 +486,17 @@ def evaluate(
                    "scene extent (1.1x the camera-center bounding-sphere "
                    "radius) -- 3DGS's spatial_lr_scale; its lr defaults "
                    "assume this on real scenes")
+@click.option("--test-every", type=int, default=0,
+              help="hold out every Nth view (index %% N == 0, 3DGS's "
+                   "llffhold convention; 8 is the paper's value) from "
+                   "training and report held-out PSNR/SSIM at the end. "
+                   "0 = train on every view")
 def finetune(
     input_dir, trained_model_path, scene_index, scale_factor,
     tile_size, chunk_size, max_pairs, early_stop, backend, auto_pairs,
     output_path, steps, ssim_weight, save_iteration,
     densify, densify_every, densify_grad_threshold, sh_warmup_every, mesh,
-    background, lr_decay_steps, lr_means_final, lr_scale_extent,
+    background, lr_decay_steps, lr_means_final, lr_scale_extent, test_every,
 ):
     """Fine-tune the splat model against the scene's ground-truth views
     (BASELINE.json config 4: the full-VJP workload)."""
@@ -503,7 +508,7 @@ def finetune(
         model, views, cfg, auto_pairs, output_path, steps, ssim_weight,
         save_iteration, densify, densify_every, densify_grad_threshold,
         sh_warmup_every, mesh, background, lr_decay_steps, lr_means_final,
-        lr_scale_extent,
+        lr_scale_extent, test_every,
     )
 
 
@@ -541,13 +546,18 @@ def finetune(
                    "scene extent (1.1x the camera-center bounding-sphere "
                    "radius) -- 3DGS's spatial_lr_scale; its lr defaults "
                    "assume this on real scenes")
+@click.option("--test-every", type=int, default=0,
+              help="hold out every Nth view (index %% N == 0, 3DGS's "
+                   "llffhold convention; 8 is the paper's value) from "
+                   "training and report held-out PSNR/SSIM at the end. "
+                   "0 = train on every view")
 def train(
     input_dir, trained_model_path, scene_index, scale_factor,
     tile_size, chunk_size, max_pairs, early_stop, backend, auto_pairs,
     output_path, steps, ssim_weight, save_iteration,
     densify, densify_every, densify_grad_threshold, sh_warmup_every,
     initial_opacity, mesh, background, lr_decay_steps, lr_means_final,
-    lr_scale_extent,
+    lr_scale_extent, test_every,
 ):
     """Train a splat model FROM SCRATCH: initialize from the scene's COLMAP
     SfM points (sparse/0/points3D) and optimize against its ground-truth
@@ -583,7 +593,7 @@ def train(
         model, views, cfg, auto_pairs, output_path, steps, ssim_weight,
         save_iteration, densify, densify_every, densify_grad_threshold,
         sh_warmup_every, mesh, background, lr_decay_steps, lr_means_final,
-        lr_scale_extent,
+        lr_scale_extent, test_every,
     )
 
 
@@ -613,12 +623,26 @@ def _run_training(
     model, views, cfg, auto_pairs, output_path, steps, ssim_weight,
     save_iteration, densify, densify_every, densify_grad_threshold,
     sh_warmup_every, mesh="", background="black", lr_decay_steps=0,
-    lr_means_final=1.6e-6, lr_scale_extent=False,
+    lr_means_final=1.6e-6, lr_scale_extent=False, test_every=0,
 ):
     from gsplat_tpu.config import DensifyConfig
     from gsplat_tpu.train.checkpoint import save_ply_checkpoint
     from gsplat_tpu.train.trainer import Trainer
     from gsplat_tpu.utils.logging import log_metrics
+
+    test_views = []
+    if test_every > 0:
+        test_views = views[::test_every]  # index % N == 0: 3DGS llffhold
+        views = [v for i, v in enumerate(views) if i % test_every != 0]
+        if not views:
+            raise click.UsageError(
+                f"--test-every {test_every} holds out every view; nothing "
+                "left to train on"
+            )
+        logger.info(
+            "holding out %d of %d views for evaluation",
+            len(test_views), len(views) + len(test_views),
+        )
 
     dcfg = (
         DensifyConfig(every=densify_every, grad_threshold=densify_grad_threshold)
@@ -655,6 +679,20 @@ def _run_training(
     model, history = trainer.fit(
         model, views, log_fn=lambda r: log_metrics(logger, r["step"], r)
     )
+    if test_views:
+        from gsplat_tpu.render.pipeline import render as render_fn
+        from gsplat_tpu.train.loss import psnr, ssim
+
+        vals = []
+        for camera, gt in test_views:
+            pred, _ = render_fn(model, camera, trainer.raster)
+            vals.append((float(psnr(pred, gt)), float(ssim(pred, gt))))
+        mean_psnr = sum(v[0] for v in vals) / len(vals)
+        mean_ssim = sum(v[1] for v in vals) / len(vals)
+        logger.info(
+            "held-out (%d views): PSNR %.2f  SSIM %.4f",
+            len(vals), mean_psnr, mean_ssim,
+        )
     if output_path:
         ply = save_ply_checkpoint(output_path, model, iteration=save_iteration)
         logger.info("saved trained checkpoint to %s", ply)

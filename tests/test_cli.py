@@ -158,6 +158,28 @@ def test_cli_train_lr_scale_extent(scene_dir, tmp_path):
     )
 
 
+def test_cli_train_test_holdout(scene_dir, tmp_path):
+    """`--test-every 2` on the 2-view scene trains on one view and
+    evaluates the held-out one (checkpoint write follows the eval, so its
+    existence proves the holdout path ran); holding out everything is a
+    usage error."""
+    out = str(tmp_path / "trho")
+    result = CliRunner().invoke(
+        cli, ["train", *_common(scene_dir, out), "--steps", "2", "--no-densify",
+              "--test-every", "2"]
+    )
+    assert result.exit_code == 0, result.output + repr(result.exception)
+    assert os.path.exists(
+        os.path.join(out, "point_cloud/iteration_30000/point_cloud.ply")
+    )
+
+    bad = CliRunner().invoke(
+        cli, ["train", *_common(scene_dir, out), "--steps", "2", "--no-densify",
+              "--test-every", "1"]
+    )
+    assert bad.exit_code != 0
+
+
 def test_cli_orbit(scene_dir, tmp_path):
     out = str(tmp_path / "orbit")
     result = CliRunner().invoke(
