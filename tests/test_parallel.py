@@ -292,6 +292,38 @@ def test_parallel_trainer_fit(scene):
     assert out_d.num_gaussians > 0
 
 
+@pytest.mark.slow
+def test_parallel_trainer_full_recipe():
+    """All round-3 training knobs at once on the mesh path — densify +
+    random background + position-lr decay + SH warmup — interact cleanly:
+    finite losses, live compacted pool, per-step background draws."""
+    from gsplat_tpu.config import DensifyConfig
+    from gsplat_tpu.parallel.shard import ParallelTrainer
+    from gsplat_tpu.train import densify as D
+
+    rng = np.random.default_rng(5)
+    model = GaussianModel.from_arrays(random_splat_arrays(rng, 60))
+    cameras = [orbit_camera(a, width=W, height=H) for a in (0.0, 0.3)]
+    views = [(c, render(model, c, CFG)[0]) for c in cameras]
+
+    trainer = ParallelTrainer(
+        mesh=make_mesh(MeshConfig(data=2, tile=2)),
+        raster=CFG,
+        train=TrainConfig(
+            steps=6, log_every=2, ssim_weight=0.0, background="random",
+            lr_means_decay_steps=6, lr_means_final=1.6e-6,
+            sh_warmup_every=2,
+            densify=DensifyConfig(every=3, start=1, grad_threshold=1e-7,
+                                  pool_factor=1.5),
+        ),
+        show_progress=False,
+    )
+    out, history = trainer.fit(model, views)
+    assert np.isfinite([h["loss"] for h in history]).all()
+    assert out.num_gaussians == int(np.asarray(D.alive_mask(out)).sum())
+    assert out.num_gaussians > 0
+
+
 def test_sharded_binning_stats_sees_hot_shard():
     """The per-shard demand probe must report the MAX shard demand, which for
     a deliberately imbalanced scene (all splats piled onto one shard's tile
