@@ -353,10 +353,13 @@ def orbit(
               help="evaluate over a device mesh, 'DATAxTILE': views sharded "
                    "over the data axis, tiles within a view over the tile "
                    "axis (requires all views at one resolution)")
+@click.option("--test-every", type=int, default=0,
+              help="score only every Nth view (index %% N == 0) — the "
+                   "held-out split of train/finetune --test-every. 0 = all")
 def evaluate(
     input_dir, trained_model_path, scene_index, scale_factor,
     tile_size, chunk_size, max_pairs, early_stop, backend, auto_pairs,
-    output_path, mesh,
+    output_path, mesh, test_every,
 ):
     """Render every ground-truth view and report PSNR/SSIM per view + mean
     (quality metrics the reference never published; SURVEY.md §6)."""
@@ -386,6 +389,9 @@ def evaluate(
         gt = jnp.asarray(np.asarray(img, dtype=np.float32) / 255.0)
         cam = CameraParams.from_colmap(scene, cam_info[1], img.size[0], img.size[1])
         views.append((scene.name, cam, gt))
+    if test_every > 0:
+        views = views[::test_every]
+        logger.info("evaluating the held-out split: %d views", len(views))
 
     rows = []
     if mesh_dims is not None:

@@ -228,6 +228,21 @@ def test_cli_evaluate(scene_dir, tmp_path):
     assert -1.0 <= metrics["mean_ssim"] <= 1.0
 
 
+def test_cli_evaluate_holdout_split(scene_dir, tmp_path):
+    """`evaluate --test-every 2` scores only the held-out split (view
+    indices % 2 == 0): one of the scene's two views."""
+    import json
+
+    out = str(tmp_path / "evalho")
+    result = CliRunner().invoke(
+        cli, ["evaluate", *_common(scene_dir, out), "--test-every", "2"]
+    )
+    assert result.exit_code == 0, result.output + repr(result.exception)
+    metrics = json.load(open(os.path.join(out, "metrics.json")))
+    assert len(metrics["views"]) == 1
+    assert np.isfinite(metrics["mean_psnr"])
+
+
 def test_cli_evaluate_mesh(scene_dir, tmp_path):
     """`evaluate --mesh 2x2` computes the same per-view metrics as the
     single-device path (views batched over the data axis)."""
