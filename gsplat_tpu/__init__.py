@@ -20,7 +20,7 @@ from gsplat_tpu.render.pipeline import (
     suggest_max_pairs,
 )
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "CameraArrays",
