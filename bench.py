@@ -1,7 +1,13 @@
 """Headline benchmark: forward+backward render rate at 1080p on one chip.
 
-Prints ONE JSON line:
+Prints JSON lines of the form
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, "extra": {...}}
+incrementally: the headline line is flushed the moment it is measured, and
+each completed extra stage re-emits the enriched line — so the LAST line on
+stdout is always the most complete valid artifact, on every exit path
+(finish, budget-skip, external timeout kill). The whole default run keeps
+itself inside GSPLAT_BENCH_BUDGET_S wall-clock seconds (default 480,
+compiles included), skipping extras that don't fit.
 
 Baseline (BASELINE.md): the torch reference renders one image in ~5 minutes
 *forward-only* (README.md:5). We report full forward+backward (render +
@@ -28,6 +34,7 @@ from __future__ import annotations
 import argparse
 import json
 import math
+import os
 import sys
 import time
 
@@ -36,6 +43,34 @@ import numpy as np
 WIDTH, HEIGHT = 1920, 1080
 NUM_GAUSSIANS = 1_000_000
 BASELINE_FPS = 1.0 / 300.0  # reference: ~5 min per forward-only frame
+
+# Wall-clock budget for the WHOLE default run (compiles included). The
+# driver runs ``python bench.py`` under its own timeout and tail-parses
+# stdout for the last valid JSON line; round 3's run chained every extra
+# stage before printing anything and timed out with zero artifact
+# (BENCH_r03.json rc:124, parsed:null). The contract now: the headline JSON
+# line is printed-and-flushed the moment it is measured, each completed
+# extra stage re-emits an enriched line, and stages that don't fit the
+# remaining budget are skipped (recorded in extra.budget.skipped) so the
+# process exits 0 well inside the driver's window.
+BENCH_BUDGET_S = float(os.environ.get("GSPLAT_BENCH_BUDGET_S", "480"))
+_BENCH_T0 = [time.monotonic()]  # reset at synthetic_bench() entry, so
+# in-process callers (tests import bench long before they run it) get a
+# fresh budget per run; the device watchdog's probe time is excluded.
+
+
+def _start_budget() -> None:
+    _BENCH_T0[0] = time.monotonic()
+
+
+def _time_left() -> float:
+    return BENCH_BUDGET_S - (time.monotonic() - _BENCH_T0[0])
+
+
+def emit(result: dict) -> None:
+    """Print one JSON line and flush — the driver tail-parses stdout, so
+    every exit path after the first emit leaves a valid artifact."""
+    print(json.dumps(result), flush=True)
 
 # log-scale shifts for the pair-density sweep: each shift grows every splat
 # by e^shift linearly, raising pairs/gaussian from ~1 toward real MipNeRF-360
@@ -166,6 +201,7 @@ def pair_stats(model, cam, cfg):
 
 
 def synthetic_bench(args):
+    _start_budget()
     import jax
     import jax.numpy as jnp
 
@@ -206,41 +242,32 @@ def synthetic_bench(args):
         "loss": final_loss,
         "pairs_per_gaussian": round(num_pairs / NUM_GAUSSIANS, 2),
     }
+    result = {
+        "metric": "1080p_fwd+bwd_frames_per_sec_per_chip",
+        "value": round(fps, 4),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 1),
+        "extra": extra,
+    }
+    emit(result)  # the headline artifact exists from this point on
+    if args.quick:
+        return result
 
-    if not args.quick:
-        # The CUDA original's early-termination heuristic (T < 1e-4), for
-        # comparison; it only pays off at heavier pair densities.
-        el_es, _ = time_fwd_bwd(model, cam, target, make_cfg(max_pairs, 1e-4), iters=ITERS[0])
-        extra["early_stop_fps"] = round(1.0 / el_es, 3)
+    budget = extra["budget"] = {"total_s": BENCH_BUDGET_S, "skipped": []}
 
-        # Pair-density sweep: grow the splats, re-size the pair budget to
-        # 1.5x each point's measured demand.
-        sweep = []
-        for shift in PAIR_SWEEP_SHIFTS:
-            m = model if shift == 0.0 else build_scene(NUM_GAUSSIANS, shift)
-            try:
-                cap, dem = sized_capacity(m, cam)
-                c = make_cfg(cap, 1e-4)
-                np_, dem, ovf = pair_stats(m, cam, c)
-                el, _ = time_fwd_bwd(m, cam, target, c, iters=ITERS[1])
-            except Exception as exc:  # e.g. HBM exhaustion at the heavy point
-                sweep.append({"shift": shift, "error": type(exc).__name__})
-                continue
-            sweep.append(
-                {
-                    "pairs_per_gaussian": round(np_ / NUM_GAUSSIANS, 2),
-                    "num_pairs": np_,
-                    "max_pairs": cap,
-                    "overflowed": ovf,
-                    "fps": round(1.0 / el, 3),
-                }
-            )
-        extra["pair_sweep"] = sweep
+    def fits(name: str, reserve_s: float) -> bool:
+        """True if ``reserve_s`` of wall-clock remains for stage ``name``;
+        otherwise records the skip (visible in the final artifact)."""
+        if _time_left() < reserve_s:
+            budget["skipped"].append(name)
+            return False
+        return True
 
-        # Real-MipNeRF-360-density point (5M gaussians, ~40M pairs — the
-        # reference's own workload class): tighter 1.1x headroom (the scene
-        # is fixed and P-scale stages pay linearly for slack), both the
-        # production early-stop mode and exact reference semantics.
+    # Real-MipNeRF-360-density point FIRST (5M gaussians, ~40M pairs — the
+    # reference's own workload class and the round's key claim): tighter
+    # 1.1x headroom (the scene is fixed and P-scale stages pay linearly for
+    # slack), production early-stop mode and exact reference semantics.
+    if fits("real_density", 200.0):
         m = build_scene(REAL_DENSITY_N, REAL_DENSITY_SHIFT)
         try:
             cap, dem = sized_capacity(m, cam, headroom=1.1)
@@ -248,7 +275,6 @@ def synthetic_bench(args):
             # this density; the compacted reduction runs at that scale.
             c = make_cfg(cap, 1e-4, reduce_pairs=cap // 4)
             el, _ = time_fwd_bwd(m, cam, target, c, iters=ITERS[2])
-            el_exact, _ = time_fwd_bwd(m, cam, target, make_cfg(cap, 0.0), iters=ITERS[2])
             extra["real_density"] = {
                 "num_gaussians": REAL_DENSITY_N,
                 "pair_demand": dem,
@@ -256,14 +282,57 @@ def synthetic_bench(args):
                 "max_pairs": cap,
                 "fps": round(1.0 / el, 3),
                 "sec_per_frame": round(el, 4),
-                "exact_mode_fps": round(1.0 / el_exact, 3),
             }
+            emit(result)
+            if fits("real_density.exact_mode", 120.0):
+                el_exact, _ = time_fwd_bwd(
+                    m, cam, target, make_cfg(cap, 0.0), iters=ITERS[2]
+                )
+                extra["real_density"]["exact_mode_fps"] = round(1.0 / el_exact, 3)
         except Exception as exc:
             extra["real_density"] = {"error": type(exc).__name__}
+        del m
+        emit(result)
 
-        # 4K (3840x2160) point on the headline scene: per-pair fixed costs
-        # amortize over more covered pixels, so Mpix/s improves with
-        # resolution (README §Performance).
+    # The CUDA original's early-termination heuristic (T < 1e-4), for
+    # comparison; it only pays off at heavier pair densities.
+    if fits("early_stop", 70.0):
+        el_es, _ = time_fwd_bwd(
+            model, cam, target, make_cfg(max_pairs, 1e-4), iters=ITERS[0]
+        )
+        extra["early_stop_fps"] = round(1.0 / el_es, 3)
+        emit(result)
+
+    # Pair-density sweep: grow the splats, re-size the pair budget to
+    # 1.5x each point's measured demand.
+    sweep = extra["pair_sweep"] = []
+    for shift in PAIR_SWEEP_SHIFTS:
+        if not fits(f"pair_sweep[{shift}]", 80.0):
+            continue
+        m = model if shift == 0.0 else build_scene(NUM_GAUSSIANS, shift)
+        try:
+            cap, dem = sized_capacity(m, cam)
+            c = make_cfg(cap, 1e-4)
+            np_, dem, ovf = pair_stats(m, cam, c)
+            el, _ = time_fwd_bwd(m, cam, target, c, iters=ITERS[1])
+        except Exception as exc:  # e.g. HBM exhaustion at the heavy point
+            sweep.append({"shift": shift, "error": type(exc).__name__})
+            continue
+        sweep.append(
+            {
+                "pairs_per_gaussian": round(np_ / NUM_GAUSSIANS, 2),
+                "num_pairs": np_,
+                "max_pairs": cap,
+                "overflowed": ovf,
+                "fps": round(1.0 / el, 3),
+            }
+        )
+        emit(result)
+
+    # 4K (3840x2160) point on the headline scene: per-pair fixed costs
+    # amortize over more covered pixels, so Mpix/s improves with
+    # resolution (README §Performance).
+    if fits("res_4k", 90.0):
         try:
             w4, h4 = RES_4K
             cam4 = CameraArrays.from_params(bench_camera(w4, h4))
@@ -280,13 +349,8 @@ def synthetic_bench(args):
         except Exception as exc:
             extra["res_4k"] = {"error": type(exc).__name__}
 
-    return {
-        "metric": "1080p_fwd+bwd_frames_per_sec_per_chip",
-        "value": round(fps, 4),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / BASELINE_FPS, 1),
-        "extra": extra,
-    }
+    budget["spent_s"] = round(time.monotonic() - _BENCH_T0[0], 1)
+    return result
 
 
 def scene_bench(args):
@@ -395,6 +459,59 @@ def scene_bench(args):
     }
 
 
+def selftest(args):
+    """On-chip production-shape kernel sanity check (round-3 verdict #7).
+
+    Every Pallas-vs-jnp cross-check in tests/ runs at toy shapes (ts=16,
+    chunk 8, pair_block 8) in interpreter mode; this renders ONE 1M-gaussian
+    1080p view at the PRODUCTION config (ts=32, chunk 32, pair_block 128)
+    with BOTH implementations on the real chip and asserts allclose —
+    catching Mosaic/shape bugs the CPU tier structurally cannot.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gsplat_tpu import RasterConfig
+    from gsplat_tpu.ops.camera import CameraArrays
+    from gsplat_tpu.render.pipeline import render_traced
+
+    n = int(args.selftest_gaussians)
+    model = build_scene(n)
+    cam = CameraArrays.from_params(bench_camera())
+    max_pairs, demand = sized_capacity(model, cam)
+
+    def cfg(use_pallas):
+        return RasterConfig(
+            tile_size=32, chunk_size=32, pair_block=128,
+            max_pairs=max_pairs, strict_parity=True,
+            use_pallas=use_pallas, early_stop_transmittance=0.0,
+        )
+
+    img_p, trans_p = render_traced(model, cam, WIDTH, HEIGHT, cfg(True))
+    img_j, trans_j = render_traced(model, cam, WIDTH, HEIGHT, cfg(False))
+    err_img = float(jnp.max(jnp.abs(img_p - img_j)))
+    err_trans = float(jnp.max(jnp.abs(trans_p - trans_j)))
+    mean_img = float(jnp.mean(img_p))
+    ok = err_img < 1e-4 and err_trans < 1e-4 and np.isfinite(mean_img)
+    return {
+        "metric": "selftest_pallas_vs_jnp_max_abs_err",
+        "value": err_img,
+        "unit": "abs_err",
+        "vs_baseline": 1.0 if ok else 0.0,
+        "extra": {
+            "ok": ok,
+            "num_gaussians": n,
+            "pair_demand": int(demand),
+            "max_pairs": int(max_pairs),
+            "config": "ts=32 chunk=32 pair_block=128 (production)",
+            "max_abs_err_image": err_img,
+            "max_abs_err_transmittance": err_trans,
+            "mean_image": mean_img,
+            "backend": jax.default_backend(),
+        },
+    }
+
+
 def _device_watchdog(metric: str, timeout_s: float = 300.0):
     """Fail fast (with an honest JSON line) if the first device op never
     completes — the tunneled TPU backend can wedge at the PJRT client
@@ -448,14 +565,27 @@ def main():
         "--quick", action="store_true",
         help="headline number only (skip exact-mode + pair sweep)",
     )
+    ap.add_argument(
+        "--selftest", action="store_true",
+        help="on-chip production-shape Pallas-vs-jnp allclose check",
+    )
+    ap.add_argument("--selftest-gaussians", type=int, default=1_000_000)
     args = ap.parse_args()
 
     _device_watchdog(
-        "real_scene_fwd+bwd_frames_per_sec_per_chip" if args.scene
+        "selftest_pallas_vs_jnp_max_abs_err" if args.selftest
+        else "real_scene_fwd+bwd_frames_per_sec_per_chip" if args.scene
         else "1080p_fwd+bwd_frames_per_sec_per_chip"
     )
-    result = scene_bench(args) if args.scene else synthetic_bench(args)
-    print(json.dumps(result))
+    if args.selftest:
+        result = selftest(args)
+    elif args.scene:
+        result = scene_bench(args)
+    else:
+        result = synthetic_bench(args)
+    emit(result)
+    if args.selftest and not result["extra"]["ok"]:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

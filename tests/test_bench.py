@@ -38,6 +38,34 @@ def test_synthetic_bench_mode(monkeypatch):
 
 
 @pytest.mark.slow
+def test_synthetic_bench_budget_exhausted(monkeypatch, capsys):
+    """With a zero wall-clock budget every extra stage is skipped but the
+    headline is still measured, emitted, and names the skips — the property
+    that makes the driver's tail-parse succeed on ANY exit path."""
+    import json
+
+    import bench
+
+    monkeypatch.setattr(bench, "WIDTH", 128)
+    monkeypatch.setattr(bench, "HEIGHT", 96)
+    monkeypatch.setattr(bench, "NUM_GAUSSIANS", 800)
+    monkeypatch.setattr(bench, "CAPACITY_FLOOR", 1 << 10)
+    monkeypatch.setattr(bench, "ITERS", (1, 1, 1, 1))
+    monkeypatch.setattr(bench, "BENCH_BUDGET_S", 0.0)
+    out = bench.synthetic_bench(argparse.Namespace(quick=False))
+    assert out["value"] > 0
+    skipped = out["extra"]["budget"]["skipped"]
+    assert "real_density" in skipped and "early_stop" in skipped, skipped
+    assert "real_density" not in out["extra"]
+    # every emitted stdout line is valid JSON with the headline value
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert lines, "headline line must be emitted even with no budget"
+    for line in lines:
+        parsed = json.loads(line)
+        assert parsed["value"] == out["value"]
+
+
+@pytest.mark.slow
 def test_scene_bench_mode(tmp_path):
     import bench
 
