@@ -387,7 +387,12 @@ def evaluate(
             continue
         img = Image.open(path).convert("RGB")
         gt = jnp.asarray(np.asarray(img, dtype=np.float32) / 255.0)
-        cam = CameraParams.from_colmap(scene, cam_info[1], img.size[0], img.size[1])
+        # Per-view intrinsics: each image carries its own camera_id
+        # (data_reader.py BaseImage). The reference's cam_info[1] hardcode
+        # (rasterize.py:336) is a single-view quirk kept only in `render`.
+        cam = CameraParams.from_colmap(
+            scene, cam_info[scene.camera_id], img.size[0], img.size[1]
+        )
         views.append((scene.name, cam, gt))
     if test_every > 0:
         views = views[::test_every]
@@ -497,12 +502,20 @@ def evaluate(
                    "llffhold convention; 8 is the paper's value) from "
                    "training and report held-out PSNR/SSIM at the end. "
                    "0 = train on every view")
+@click.option("--checkpoint-every", type=int, default=500,
+              help="save the full loop state (model + optimizer + step) to "
+                   "<output_path>/train_state every N steps (0 = only at "
+                   "completion); continue an interrupted run with --resume")
+@click.option("--resume", is_flag=True, default=False,
+              help="resume from <output_path>/train_state if present "
+                   "(same view rotation and RNG path as the killed run)")
 def finetune(
     input_dir, trained_model_path, scene_index, scale_factor,
     tile_size, chunk_size, max_pairs, early_stop, backend, auto_pairs,
     output_path, steps, ssim_weight, save_iteration,
     densify, densify_every, densify_grad_threshold, sh_warmup_every, mesh,
     background, lr_decay_steps, lr_means_final, lr_scale_extent, test_every,
+    checkpoint_every, resume,
 ):
     """Fine-tune the splat model against the scene's ground-truth views
     (BASELINE.json config 4: the full-VJP workload)."""
@@ -514,7 +527,7 @@ def finetune(
         model, views, cfg, auto_pairs, output_path, steps, ssim_weight,
         save_iteration, densify, densify_every, densify_grad_threshold,
         sh_warmup_every, mesh, background, lr_decay_steps, lr_means_final,
-        lr_scale_extent, test_every,
+        lr_scale_extent, test_every, checkpoint_every, resume,
     )
 
 
@@ -557,13 +570,20 @@ def finetune(
                    "llffhold convention; 8 is the paper's value) from "
                    "training and report held-out PSNR/SSIM at the end. "
                    "0 = train on every view")
+@click.option("--checkpoint-every", type=int, default=500,
+              help="save the full loop state (model + optimizer + step) to "
+                   "<output_path>/train_state every N steps (0 = only at "
+                   "completion); continue an interrupted run with --resume")
+@click.option("--resume", is_flag=True, default=False,
+              help="resume from <output_path>/train_state if present "
+                   "(same view rotation and RNG path as the killed run)")
 def train(
     input_dir, trained_model_path, scene_index, scale_factor,
     tile_size, chunk_size, max_pairs, early_stop, backend, auto_pairs,
     output_path, steps, ssim_weight, save_iteration,
     densify, densify_every, densify_grad_threshold, sh_warmup_every,
     initial_opacity, mesh, background, lr_decay_steps, lr_means_final,
-    lr_scale_extent, test_every,
+    lr_scale_extent, test_every, checkpoint_every, resume,
 ):
     """Train a splat model FROM SCRATCH: initialize from the scene's COLMAP
     SfM points (sparse/0/points3D) and optimize against its ground-truth
@@ -599,7 +619,7 @@ def train(
         model, views, cfg, auto_pairs, output_path, steps, ssim_weight,
         save_iteration, densify, densify_every, densify_grad_threshold,
         sh_warmup_every, mesh, background, lr_decay_steps, lr_means_final,
-        lr_scale_extent, test_every,
+        lr_scale_extent, test_every, checkpoint_every, resume,
     )
 
 
@@ -620,7 +640,11 @@ def _load_views(input_dir, scale_factor):
             continue
         img = Image.open(path).convert("RGB")
         gt = jnp.asarray(np.asarray(img, dtype=np.float32) / 255.0)
-        cam = CameraParams.from_colmap(scene, cam_info[1], img.size[0], img.size[1])
+        # Per-view intrinsics via the image's own camera_id (the reference's
+        # cam_info[1] hardcode is kept only in the parity `render` command).
+        cam = CameraParams.from_colmap(
+            scene, cam_info[scene.camera_id], img.size[0], img.size[1]
+        )
         views.append((cam, gt))
     return views
 
@@ -630,6 +654,7 @@ def _run_training(
     save_iteration, densify, densify_every, densify_grad_threshold,
     sh_warmup_every, mesh="", background="black", lr_decay_steps=0,
     lr_means_final=1.6e-6, lr_scale_extent=False, test_every=0,
+    checkpoint_every=500, resume=False,
 ):
     from gsplat_tpu.config import DensifyConfig
     from gsplat_tpu.train.checkpoint import save_ply_checkpoint
@@ -668,7 +693,11 @@ def _run_training(
         lr_means=base.lr_means * extent,
         lr_means_decay_steps=lr_decay_steps,
         lr_means_final=lr_means_final * extent if lr_decay_steps > 0 else 0.0,
+        checkpoint_every=checkpoint_every,
     )
+    if resume and not output_path:
+        raise click.UsageError("--resume requires --output_path (the "
+                               "checkpoint lives at <output_path>/train_state)")
     if mesh:
         from gsplat_tpu.config import MeshConfig
         from gsplat_tpu.parallel.mesh import make_mesh
@@ -683,7 +712,8 @@ def _run_training(
     else:
         trainer = Trainer(raster=cfg, train=train_cfg, auto_pairs=auto_pairs)
     model, history = trainer.fit(
-        model, views, log_fn=lambda r: log_metrics(logger, r["step"], r)
+        model, views, log_fn=lambda r: log_metrics(logger, r["step"], r),
+        checkpoint_dir=output_path or None, resume=resume,
     )
     if test_views:
         from gsplat_tpu.render.pipeline import render as render_fn

@@ -568,7 +568,12 @@ class ParallelTrainer:
         )
         return False
 
-    def fit(self, model, views, steps=None, log_fn=None):
+    def fit(self, model, views, steps=None, log_fn=None,
+            checkpoint_dir=None, resume=False):
+        """Same surface and checkpoint/resume semantics as
+        ``train.trainer.Trainer.fit`` (loop state at
+        ``<checkpoint_dir>/train_state`` every ``train.checkpoint_every``
+        steps; ``resume=True`` continues the identical trajectory)."""
         import jax as _jax
 
         from gsplat_tpu.utils.logging import get_logger
@@ -582,18 +587,38 @@ class ParallelTrainer:
         if any(c.width != width or c.height != height for c, _ in views):
             raise ValueError("all views must share one resolution")
 
+        dc = self.train.densify
+        dstate = key = None
+        opt_state = None
+        start_step = 0
+        resumed = False
+        if checkpoint_dir:
+            from gsplat_tpu.train import checkpoint as CK
+        if resume and checkpoint_dir and CK.has_loop_state(checkpoint_dir):
+            model, opt_state, start_step, dstate, key = CK.restore_loop_state(
+                checkpoint_dir, make_optimizer(self.train).init
+            )
+            resumed = True
+            logger.info(
+                "resumed from %s at step %d",
+                CK.loop_state_path(checkpoint_dir), start_step,
+            )
+            if self.train.background == "random":
+                for _ in range(start_step):
+                    self._bg_rng.uniform(size=3)
+
         cams_all = [CameraArrays.from_params(c) for c, _ in views]
         self._stats_fn = None
         self.check_capacity(model, cams_all, width, height)
 
-        dc = self.train.densify
         if dc is not None:
             from gsplat_tpu.train import densify as D
 
             extent = D.camera_extent([c for c, _ in views])
-            model = D.init_pool(model, dc)
-            dstate = D.DensifyState.zero(model.num_gaussians)
-            key = _jax.random.key(0)
+            if not resumed:
+                model = D.init_pool(model, dc)
+                dstate = D.DensifyState.zero(model.num_gaussians)
+                key = _jax.random.key(0)
 
         def build_step(sh_degree=None):
             cfg = self.raster
@@ -609,9 +634,12 @@ class ParallelTrainer:
         )
         step_fn, init_state, prepare_targets = build_step(cur_deg)
         targets_all = [prepare_targets(jnp.stack([t])) for _, t in views]
-        opt_state = init_state(model)
+        if not resumed:
+            opt_state = init_state(model)
         history = []
-        for step in progress(range(steps), desc="fit", enabled=self.show_progress):
+        for step in progress(
+            range(start_step, steps), desc="fit", enabled=self.show_progress
+        ):
             # 3DGS SH warmup: color detail introduced band by band (one
             # rebuild per degree bump — same schedule as Trainer.fit).
             if self.train.sh_warmup_every > 0:
@@ -671,6 +699,17 @@ class ParallelTrainer:
                     model, [cams_all[idx[0]]], width, height
                 ):
                     step_fn, _, _ = build_step(cur_deg)
+            if (
+                checkpoint_dir
+                and self.train.checkpoint_every > 0
+                and (step + 1) % self.train.checkpoint_every == 0
+                and step + 1 < steps
+            ):
+                CK.save_loop_state(
+                    checkpoint_dir, model, opt_state, step + 1, dstate, key
+                )
+        if checkpoint_dir:
+            CK.save_loop_state(checkpoint_dir, model, opt_state, steps, dstate, key)
         if dc is not None:
             from gsplat_tpu.train import densify as D
 

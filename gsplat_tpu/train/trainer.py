@@ -221,6 +221,8 @@ class Trainer:
         views: Sequence[Tuple[CameraParams, jnp.ndarray]],
         steps: Optional[int] = None,
         log_fn=None,
+        checkpoint_dir: Optional[str] = None,
+        resume: bool = False,
     ) -> Tuple[GaussianModel, List[Dict[str, float]]]:
         """Round-robin over (camera, ground-truth image) views.
 
@@ -228,21 +230,50 @@ class Trainer:
         pool (train/densify.py), viewspace gradients are accumulated every
         step, and the clone/split/prune pass runs at the configured cadence;
         the returned model is compacted back to its live gaussians.
+
+        With ``checkpoint_dir`` the full loop state (model, optimizer,
+        step, densify accumulator + RNG) is saved to
+        ``<dir>/train_state`` every ``train.checkpoint_every`` steps and at
+        completion; ``resume=True`` restores it (if present) and continues
+        from the saved step with the identical view rotation and RNG path,
+        so an interrupted run reaches the same final parameters as an
+        uninterrupted one. History covers only the resumed steps.
         """
         steps = steps if steps is not None else self.train.steps
         dc = self.train.densify
+        dstate = key = None
+        start_step = 0
+        resumed = False
+        if checkpoint_dir:
+            from gsplat_tpu.train import checkpoint as CK
+        if resume and checkpoint_dir and CK.has_loop_state(checkpoint_dir):
+            model, opt_state, start_step, dstate, key = CK.restore_loop_state(
+                checkpoint_dir, self.optimizer.init
+            )
+            resumed = True
+            logger.info(
+                "resumed from %s at step %d",
+                CK.loop_state_path(checkpoint_dir), start_step,
+            )
+            if self.train.background == "random":
+                # Replay the host RNG to the resume point so the background
+                # sequence continues exactly where the killed run left off.
+                for _ in range(start_step):
+                    self._bg_rng.uniform(size=3)
         if dc is not None:
             from gsplat_tpu.train import densify as D
 
             extent = D.camera_extent([c for c, _ in views])
-            model = D.init_pool(model, dc)
-            dstate = D.DensifyState.zero(model.num_gaussians)
-            key = jax.random.key(0)
-        opt_state = self.init_state(model)
+            if not resumed:
+                model = D.init_pool(model, dc)
+                dstate = D.DensifyState.zero(model.num_gaussians)
+                key = jax.random.key(0)
+        if not resumed:
+            opt_state = self.init_state(model)
         history: List[Dict[str, float]] = []
-        self.check_capacity(model, views[0][0])
+        self.check_capacity(model, views[start_step % len(views)][0])
         for step in progress(
-            range(steps), desc="finetune", enabled=self.show_progress
+            range(start_step, steps), desc="finetune", enabled=self.show_progress
         ):
             camera, target = views[step % len(views)]
             # 3DGS SH warmup: view-dependent color detail is introduced
@@ -291,6 +322,20 @@ class Trainer:
                     log_fn(record)
                 if step > 0:  # splats grow during training; re-check budget
                     self.check_capacity(model, views[step % len(views)][0])
+            if (
+                checkpoint_dir
+                and self.train.checkpoint_every > 0
+                and (step + 1) % self.train.checkpoint_every == 0
+                and step + 1 < steps
+            ):
+                CK.save_loop_state(
+                    checkpoint_dir, model, opt_state, step + 1, dstate, key
+                )
+        if checkpoint_dir:
+            # Final state (pre-compaction: the densify extras describe the
+            # pool model) — a later `resume` with a higher step count
+            # continues training from here.
+            CK.save_loop_state(checkpoint_dir, model, opt_state, steps, dstate, key)
         if dc is not None:
             from gsplat_tpu.train import densify as D
 

@@ -83,10 +83,17 @@ def write_synthetic_scene(
     height: int = 48,
     n_images: int = 2,
     scale_factor: int = 1,
+    two_cameras: bool = False,
 ) -> str:
     """Materialize a full on-disk scene in the layout the reference expects:
     ``sparse/0/{images,cameras}.bin``, ``images_{k}/`` JPEGs, and an Inria
     checkpoint at ``model/point_cloud/iteration_30000/point_cloud.ply``.
+
+    With ``two_cameras`` odd-indexed images reference a second COLMAP camera
+    (id 2, same resolution, 1.5x the focal length) — a multi-camera
+    reconstruction, which multi-view code paths must resolve per image via
+    ``BaseImage.camera_id`` (the reference's cam_info[1] hardcode is a
+    single-view quirk, rasterize.py:336).
 
     Returns the scene root (the model lives at ``<root>/model``).
     """
@@ -105,6 +112,18 @@ def write_synthetic_scene(
             ),
         )
     }
+    if two_cameras:
+        cameras[2] = colmap.Camera(
+            id=2,
+            model="PINHOLE",
+            width=width * scale_factor,
+            height=height * scale_factor,
+            params=np.array(
+                [1.5 * cam.focal_x, 1.5 * cam.focal_y,
+                 width * scale_factor / 2, height * scale_factor / 2],
+                dtype=np.float64,
+            ),
+        )
     images = {}
     for i in range(n_images):
         angle = 0.15 * i
@@ -113,7 +132,7 @@ def write_synthetic_scene(
             id=i,
             qvec=np.array(ocam.qvec),
             tvec=np.array(ocam.tvec),
-            camera_id=1,
+            camera_id=2 if (two_cameras and i % 2 == 1) else 1,
             name=f"IMG_{i:04d}.JPG",
             xys=np.zeros((0, 2)),
             point3D_ids=np.zeros((0,), dtype=np.int64),

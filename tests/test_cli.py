@@ -228,6 +228,34 @@ def test_cli_evaluate(scene_dir, tmp_path):
     assert -1.0 <= metrics["mean_ssim"] <= 1.0
 
 
+def test_multicamera_views_use_their_own_intrinsics(tmp_path):
+    """A two-camera COLMAP reconstruction: every multi-view path must
+    resolve intrinsics per image via BaseImage.camera_id, not the
+    reference's single-view cam_info[1] hardcode (rasterize.py:336 — kept
+    only in `render`). Camera 2 has 1.5x the focal length, so views 0/1
+    must come back with different focals, and `evaluate` must render each
+    with its own."""
+    import json
+
+    root = str(tmp_path / "scene2cam")
+    write_synthetic_scene(
+        root, np.random.default_rng(7), n_gaussians=120,
+        width=64, height=48, scale_factor=1, two_cameras=True,
+    )
+    from gsplat_tpu.cli import _load_views
+
+    views = _load_views(root, 1)
+    assert len(views) == 2
+    f0, f1 = views[0][0].focal_x, views[1][0].focal_x
+    assert abs(f1 / f0 - 1.5) < 1e-6, (f0, f1)
+
+    out = str(tmp_path / "eval2cam")
+    result = CliRunner().invoke(cli, ["evaluate", *_common(root, out)])
+    assert result.exit_code == 0, result.output + repr(result.exception)
+    metrics = json.load(open(os.path.join(out, "metrics.json")))
+    assert len(metrics["views"]) == 2 and np.isfinite(metrics["mean_psnr"])
+
+
 def test_cli_evaluate_holdout_split(scene_dir, tmp_path):
     """`evaluate --test-every 2` scores only the held-out split (view
     indices % 2 == 0): one of the scene's two views."""

@@ -468,3 +468,84 @@ def test_trainer_background_random_draws():
 
     with pytest.raises(ValueError):
         Trainer(raster=CFG, train=TrainConfig(background="blue"))
+
+
+def _resume_fixture(seed=9, n=120):
+    rng = np.random.default_rng(seed)
+    arrays = random_splat_arrays(rng, n)
+    target_model = GaussianModel.from_arrays(arrays)
+    cameras = [orbit_camera(a, width=48, height=32) for a in (0.0, 0.2)]
+    views = [(cam, render(target_model, cam, CFG)[0]) for cam in cameras]
+    perturbed = dict(arrays)
+    perturbed["means"] = arrays["means"] + rng.normal(
+        0, 0.01, arrays["means"].shape
+    ).astype(np.float32)
+    return GaussianModel.from_arrays(perturbed), views
+
+
+def test_trainer_checkpoint_resume_matches_uninterrupted(tmp_path):
+    """Train k steps, 'kill', resume: the resumed run must reach EXACTLY the
+    uninterrupted run's final parameters (same view rotation, same RNG path,
+    f32-bitwise — every op sequence is identical)."""
+    model, views = _resume_fixture()
+    tc = TrainConfig(steps=6, log_every=100, ssim_weight=0.2, checkpoint_every=3)
+
+    ref_trainer = Trainer(raster=CFG, train=tc, show_progress=False)
+    m_ref, _ = ref_trainer.fit(model, views)
+
+    ckpt = str(tmp_path / "run")
+    t1 = Trainer(raster=CFG, train=tc, show_progress=False)
+    t1.fit(model, views, steps=3, checkpoint_dir=ckpt)  # dies after step 3
+
+    t2 = Trainer(raster=CFG, train=tc, show_progress=False)
+    m_res, history = t2.fit(model, views, checkpoint_dir=ckpt, resume=True)
+    assert history[0]["step"] >= 3  # really resumed, not restarted
+    for a, b in zip(m_ref.tree_flatten()[0], m_res.tree_flatten()[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_checkpoint_resume_with_densify(tmp_path):
+    """Resume restores the densify pool, viewspace accumulator and RNG key:
+    a run killed mid-window must still match the uninterrupted trajectory."""
+    from gsplat_tpu.config import DensifyConfig
+
+    model, views = _resume_fixture(seed=11)
+    dc = DensifyConfig(every=4, start=0, grad_threshold=1e-6, pool_factor=1.5)
+    tc = TrainConfig(
+        steps=10, log_every=100, ssim_weight=0.0, checkpoint_every=3, densify=dc
+    )
+
+    m_ref, _ = Trainer(raster=CFG, train=tc, show_progress=False).fit(model, views)
+
+    ckpt = str(tmp_path / "run_d")
+    # Kill between checkpoint (step 3) and the densify pass (step 4): the
+    # accumulated viewspace state at step 3 must survive the restart.
+    Trainer(raster=CFG, train=tc, show_progress=False).fit(
+        model, views, steps=3, checkpoint_dir=ckpt
+    )
+    m_res, _ = Trainer(raster=CFG, train=tc, show_progress=False).fit(
+        model, views, checkpoint_dir=ckpt, resume=True
+    )
+    for a, b in zip(m_ref.tree_flatten()[0], m_res.tree_flatten()[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_resume_random_background_rng(tmp_path):
+    """background='random' draws one host-RNG color per step; resume must
+    fast-forward the stream so the sequence continues, not restart it."""
+    model, views = _resume_fixture(seed=13)
+    tc = TrainConfig(
+        steps=4, log_every=100, ssim_weight=0.0, checkpoint_every=2,
+        background="random",
+    )
+    m_ref, _ = Trainer(raster=CFG, train=tc, show_progress=False).fit(model, views)
+
+    ckpt = str(tmp_path / "run_bg")
+    Trainer(raster=CFG, train=tc, show_progress=False).fit(
+        model, views, steps=2, checkpoint_dir=ckpt
+    )
+    m_res, _ = Trainer(raster=CFG, train=tc, show_progress=False).fit(
+        model, views, checkpoint_dir=ckpt, resume=True
+    )
+    for a, b in zip(m_ref.tree_flatten()[0], m_res.tree_flatten()[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
