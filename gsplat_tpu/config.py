@@ -109,6 +109,16 @@ class DensifyConfig:
         own sample — avg_grad (and this threshold) is comparable across dp
         widths.
       min_opacity: activated opacity below which a gaussian is pruned.
+      prune_scale_extent: world-space size prune — a gaussian whose largest
+        scale exceeds this fraction of the scene extent is pruned (3DGS's
+        ``big_points_ws``, 0.1 * extent).
+      max_screen_size: screen-space size prune — a gaussian whose maximum
+        projected radius over the accumulation window exceeds this many
+        pixels is pruned (3DGS's ``big_points_vs`` / ``max_radii2D``
+        threshold, default 20). 0 disables both size-prune criteria.
+      size_prune_start: step at which the two size-prune criteria engage
+        (3DGS gates them on ``iteration > opacity_reset_interval`` = 3000;
+        the warmup lets splats grow before size policing starts).
       percent_dense: scale cutoff (fraction of the camera extent) separating
         clone (small splat, under-reconstruction) from split (large splat,
         over-reconstruction).
@@ -123,6 +133,9 @@ class DensifyConfig:
     until: int = 1 << 30
     grad_threshold: float = 2e-4
     min_opacity: float = 0.005
+    prune_scale_extent: float = 0.1
+    max_screen_size: float = 20.0
+    size_prune_start: int = 3000
     percent_dense: float = 0.01
     split_factor: float = 1.6
     opacity_reset_every: int = 0

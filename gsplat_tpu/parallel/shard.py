@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+from functools import partial
 from typing import Callable, Tuple
 
 import jax
@@ -620,6 +621,17 @@ class ParallelTrainer:
                 dstate = D.DensifyState.zero(model.num_gaussians)
                 key = _jax.random.key(0)
 
+            # Per-view projected radii for the screen-size prune (3DGS
+            # max_radii2D): one replicated preprocess per batch view —
+            # N-scale only, tiny next to the sharded render step.
+            @partial(jax.jit, static_argnames=("cfg",))
+            def _radii_fn(m, cams_b, cfg):
+                def one(cam):
+                    prep = preprocess_traced(m, cam, width, height, cfg)
+                    return D.screen_radii(prep.conics, prep.active)
+
+                return jax.lax.map(one, cams_b)  # [B, N]
+
         def build_step(sh_degree=None):
             cfg = self.raster
             if sh_degree is not None and sh_degree != cfg.sh_degree:
@@ -658,6 +670,10 @@ class ParallelTrainer:
                     model, opt_state, cams, targets, bg
                 )
             else:
+                # Radii from the pre-update model — the footprints of the
+                # forward pass this step trains on (3DGS updates
+                # max_radii2D from the same render it backprops).
+                radii_b = _radii_fn(model, cams, self.raster)
                 model, opt_state, metrics, vs = step_fn(
                     model, opt_state, cams, targets, bg
                 )
@@ -665,11 +681,13 @@ class ParallelTrainer:
                 # view in as its own sample (identical counting to the
                 # single-host Trainer, any dp width).
                 for b in range(vs.shape[0]):
-                    dstate = D.accumulate(dstate, vs[b], width, height)
+                    dstate = D.accumulate(
+                        dstate, vs[b], width, height, radii_b[b]
+                    )
                 if dc.start <= step < dc.until and step > 0 and step % dc.every == 0:
                     key, sub = _jax.random.split(key)
                     model, touched, dstats = D.densify_prune_step(
-                        model, dstate, sub, extent, dc
+                        model, dstate, sub, extent, dc, step=step
                     )
                     opt_state = D.reset_opt_rows(opt_state, touched)
                     dstate = D.DensifyState.zero(model.num_gaussians)

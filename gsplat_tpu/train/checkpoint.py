@@ -126,6 +126,7 @@ def save_loop_state(
         extras["densify"] = {
             "grad_sum": dstate.grad_sum,
             "grad_count": dstate.grad_count,
+            "max_radius": dstate.max_radius,
             "key_data": jax.random.key_data(key),
         }
     path = loop_state_path(checkpoint_dir)
@@ -155,9 +156,16 @@ def restore_loop_state(checkpoint_dir: str, make_opt_template):
         from gsplat_tpu.train.densify import DensifyState
 
         d = extras["densify"]
+        grad_sum = jnp.asarray(d["grad_sum"], jnp.float32)
         dstate = DensifyState(
-            grad_sum=jnp.asarray(d["grad_sum"], jnp.float32),
+            grad_sum=grad_sum,
             grad_count=jnp.asarray(d["grad_count"], jnp.int32),
+            # Older checkpoints predate the screen-size prune accumulator.
+            max_radius=(
+                jnp.asarray(d["max_radius"], jnp.float32)
+                if "max_radius" in d
+                else jnp.zeros_like(grad_sum)
+            ),
         )
         key = jax.random.wrap_key_data(jnp.asarray(d["key_data"]))
     return model, opt_state, step, dstate, key

@@ -68,12 +68,17 @@ class DensifyState(NamedTuple):
 
     grad_sum: jnp.ndarray  # [C] sum of per-step viewspace grad norms
     grad_count: jnp.ndarray  # [C] steps the gaussian was visible/updated
+    max_radius: jnp.ndarray  # [C] max projected radius (px) over the window
+    #   (3DGS's max_radii2D, tracked per densify window instead of globally —
+    #   every view is visited between passes at the default cadence, so the
+    #   window max sees the same worst-case footprint)
 
     @staticmethod
     def zero(capacity: int) -> "DensifyState":
         return DensifyState(
             grad_sum=jnp.zeros((capacity,), jnp.float32),
             grad_count=jnp.zeros((capacity,), jnp.int32),
+            max_radius=jnp.zeros((capacity,), jnp.float32),
         )
 
 
@@ -96,8 +101,32 @@ def init_pool(model: GaussianModel, cfg: DensifyConfig) -> GaussianModel:
     return pad_model(model, pool_capacity(model.num_gaussians, cfg))
 
 
+def screen_radii(conics: jnp.ndarray, active: jnp.ndarray) -> jnp.ndarray:
+    """Projected splat radius in pixels, 3DGS's ``max_radii2D`` quantity:
+    ``ceil(3 * sqrt(max eigenvalue of the 2D covariance))``
+    (gaussian-splatting's forward.cu; the reference computes the same
+    eigenvalue for its bbox, rasterize.py:163-181). Recovered here from the
+    conic — the covariance *inverse* (rasterize.py:189-199) — via
+    ``max_eig(cov) = 1 / min_eig(conic)``. Inactive / degenerate (det <= 0)
+    splats report radius 0."""
+    from gsplat_tpu.config import GAUSSIAN_SPREAD
+
+    cx, cy, cxy = conics[:, 0], conics[:, 1], conics[:, 2]
+    half_tr = 0.5 * (cx + cy)
+    det = cx * cy - cxy * cxy
+    disc = jnp.sqrt(jnp.maximum(half_tr * half_tr - det, 0.0))
+    min_eig = half_tr - disc
+    ok = active & (min_eig > 0.0)
+    r = GAUSSIAN_SPREAD * jnp.sqrt(1.0 / jnp.maximum(min_eig, 1e-30))
+    return jnp.where(ok, jnp.ceil(r), 0.0)
+
+
 def accumulate(
-    state: DensifyState, screen_grad: jnp.ndarray, width: int, height: int
+    state: DensifyState,
+    screen_grad: jnp.ndarray,
+    width: int,
+    height: int,
+    radii: jnp.ndarray | None = None,
 ) -> DensifyState:
     """Fold one step's viewspace gradient ([C, 2], from the zero-offset
     probe) into the accumulator. Only gaussians that received any gradient
@@ -116,6 +145,11 @@ def accumulate(
     return DensifyState(
         grad_sum=state.grad_sum + norm,
         grad_count=state.grad_count + seen.astype(jnp.int32),
+        max_radius=(
+            state.max_radius
+            if radii is None
+            else jnp.maximum(state.max_radius, radii)
+        ),
     )
 
 
@@ -126,22 +160,36 @@ def densify_prune_step(
     key: jax.Array,
     scene_extent,
     cfg: DensifyConfig,
+    step=0,
 ) -> Tuple[GaussianModel, jnp.ndarray, dict]:
     """One clone/split/prune pass over the pool. Returns
-    (model, touched [C] bool, stats); stats values are device scalars."""
+    (model, touched [C] bool, stats); stats values are device scalars.
+
+    The prune criterion is the full 3DGS rule (densify_and_prune):
+    low opacity always; past ``cfg.size_prune_start`` (and with
+    ``cfg.max_screen_size > 0``) additionally any gaussian whose largest
+    world-space scale exceeds ``prune_scale_extent * scene_extent`` or
+    whose max projected radius over the window (``state.max_radius``, fed
+    by the trainers' per-step ``screen_radii``) exceeds
+    ``max_screen_size`` pixels."""
     c = model.num_gaussians
     i32 = jnp.int32
     iota = jnp.arange(c, dtype=i32)
 
     alive = alive_mask(model)
     opacity = jax.nn.sigmoid(model.opacity_logits)
+    max_scale = jnp.exp(jnp.max(model.log_scales, axis=-1))
     prune = alive & (opacity < cfg.min_opacity)
+    if cfg.max_screen_size > 0:
+        size_active = jnp.asarray(step) >= cfg.size_prune_start
+        big_ws = max_scale > cfg.prune_scale_extent * scene_extent
+        big_vs = state.max_radius > cfg.max_screen_size
+        prune = prune | (size_active & alive & (big_ws | big_vs))
     alive = alive & ~prune
     opacity_logits = jnp.where(prune, DEAD_OPACITY_LOGIT, model.opacity_logits)
 
     avg_grad = state.grad_sum / jnp.maximum(state.grad_count, 1)
     want = alive & (state.grad_count > 0) & (avg_grad >= cfg.grad_threshold)
-    max_scale = jnp.exp(jnp.max(model.log_scales, axis=-1))
     is_split = want & (max_scale > cfg.percent_dense * scene_extent)
 
     # Match the i-th best candidate with the i-th free slot: two

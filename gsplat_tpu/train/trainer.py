@@ -138,8 +138,14 @@ class Trainer:
         # Densifying variant: the loss is additionally differentiated w.r.t.
         # an all-zero pixel-space offset on the projected means — the exact
         # viewspace gradient 3DGS's densification heuristic accumulates.
+        # Also returns this view's projected radii (3DGS max_radii2D input
+        # for the screen-size prune); the extra preprocess on the pre-update
+        # model CSEs with the render's own inside the same jit.
         @partial(jax.jit, static_argnames=("width", "height", "cfg"))
         def _step_vs(model, opt_state, cam, target, bg, width, height, cfg):
+            from gsplat_tpu.render.pipeline import preprocess_traced
+            from gsplat_tpu.train import densify as D
+
             offset = jnp.zeros((model.num_gaussians, 2), model.means.dtype)
 
             def loss_fn(m, off):
@@ -150,10 +156,12 @@ class Trainer:
             (loss, image), (grads, vs_grad) = jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True
             )(model, offset)
+            prep = preprocess_traced(model, cam, width, height, cfg)
+            radii = D.screen_radii(prep.conics, prep.active)
             updates, opt_state = self.optimizer.update(grads, opt_state, model)
             model = optax.apply_updates(model, updates)
             metrics = {"loss": loss, "psnr": psnr(image, target)}
-            return model, opt_state, metrics, vs_grad
+            return model, opt_state, metrics, vs_grad, radii
 
         self._step_vs = _step_vs
 
@@ -291,16 +299,18 @@ class Trainer:
                     camera.height, step_cfg,
                 )
             else:
-                model, opt_state, metrics, vs_grad = self._step_vs(
+                model, opt_state, metrics, vs_grad, radii = self._step_vs(
                     model, opt_state, cam, target, bg, camera.width,
                     camera.height, step_cfg,
                 )
-                dstate = D.accumulate(dstate, vs_grad, camera.width, camera.height)
+                dstate = D.accumulate(
+                    dstate, vs_grad, camera.width, camera.height, radii
+                )
                 in_window = dc.start <= step < dc.until
                 if in_window and step > 0 and step % dc.every == 0:
                     key, sub = jax.random.split(key)
                     model, touched, dstats = D.densify_prune_step(
-                        model, dstate, sub, extent, dc
+                        model, dstate, sub, extent, dc, step=step
                     )
                     opt_state = D.reset_opt_rows(opt_state, touched)
                     dstate = D.DensifyState.zero(model.num_gaussians)

@@ -188,6 +188,7 @@ def test_densify_prune_step_semantics():
     state = D.DensifyState(
         grad_sum=jnp.asarray([0.0, 1.0, 1.0, 0.0, 0, 0, 0, 0]),
         grad_count=jnp.asarray([1, 1, 1, 1, 0, 0, 0, 0], jnp.int32),
+        max_radius=jnp.zeros((8,), jnp.float32),
     )
     cfg = DensifyConfig(grad_threshold=0.5, percent_dense=0.01)
     new, touched, stats = D.densify_prune_step(
@@ -234,6 +235,84 @@ def test_densify_prune_step_semantics():
     assert t[0] and t[2] and t[clones[0]] and t[splits[0]] and not t[1] and not t[3]
     # pruned-but-unreused slots are dead
     assert not any(alive[i] for i in free_region if i not in clones + splits)
+
+
+def test_densify_size_prune():
+    """The full 3DGS prune rule: past ``size_prune_start`` a gaussian is
+    pruned when its largest world-space scale exceeds
+    ``prune_scale_extent * extent`` (big_points_ws) or its windowed max
+    projected radius exceeds ``max_screen_size`` px (big_points_vs) —
+    before the warmup step, neither criterion fires."""
+    import jax
+    import jax.numpy as jnp
+
+    from gsplat_tpu.config import DensifyConfig
+    from gsplat_tpu.models.gaussians import DEAD_OPACITY_LOGIT, GaussianModel
+    from gsplat_tpu.train import densify as D
+
+    # [0]=oversized world scale, [1]=oversized screen radius, [2]=fine,
+    # [3]=free
+    c = 4
+    extent = 10.0
+    model = GaussianModel(
+        means=jnp.zeros((c, 3)),
+        # exp(0.5)=1.65 > 0.1*10 for slot 0; the rest are tiny
+        log_scales=jnp.full((c, 3), -4.0).at[0].set(0.5),
+        quats=jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (c, 1)),
+        opacity_logits=jnp.asarray([2.0, 2.0, 2.0, DEAD_OPACITY_LOGIT]),
+        sh=jnp.zeros((c, 16, 3)),
+    )
+    state = D.DensifyState(
+        grad_sum=jnp.zeros((c,)),
+        grad_count=jnp.zeros((c,), jnp.int32),
+        max_radius=jnp.asarray([0.0, 37.0, 4.0, 0.0]),  # slot 1 > 20 px
+    )
+    cfg = DensifyConfig(max_screen_size=20.0, prune_scale_extent=0.1,
+                        size_prune_start=3000)
+    key = jax.random.key(0)
+
+    # before the warmup gate: nothing pruned
+    new, _, stats = D.densify_prune_step(model, state, key, extent, cfg, step=0)
+    assert int(stats["pruned"]) == 0
+    alive = np.asarray(D.alive_mask(new))
+    assert alive[0] and alive[1] and alive[2]
+
+    # past the gate: both size criteria fire, the healthy splat survives
+    new, touched, stats = D.densify_prune_step(
+        model, state, key, extent, cfg, step=3000
+    )
+    assert int(stats["pruned"]) == 2
+    alive = np.asarray(D.alive_mask(new))
+    assert not alive[0] and not alive[1] and alive[2]
+    t = np.asarray(touched)
+    assert t[0] and t[1] and not t[2]
+
+    # max_screen_size=0 disables both criteria entirely
+    cfg_off = DensifyConfig(max_screen_size=0.0)
+    _, _, stats = D.densify_prune_step(
+        model, state, key, extent, cfg_off, step=9999
+    )
+    assert int(stats["pruned"]) == 0
+
+
+def test_screen_radii_matches_covariance():
+    """screen_radii inverts the conic back to 3*sqrt(max eigenvalue) of the
+    2D covariance (the reference's own bbox radius, rasterize.py:163-181)."""
+    import jax.numpy as jnp
+
+    from gsplat_tpu.train.densify import screen_radii
+
+    # covariance [[4, 1], [1, 2]]: eigenvalues 3 +- sqrt(2)
+    a, b, c = 4.0, 1.0, 2.0
+    det = a * c - b * b
+    conic = jnp.asarray([[c / det, a / det, -b / det]])
+    lam_max = 3.0 + np.sqrt(2.0)
+    expected = np.ceil(3.0 * np.sqrt(lam_max))
+    r = np.asarray(screen_radii(conic, jnp.asarray([True])))
+    np.testing.assert_allclose(r, [expected])
+    # inactive -> 0
+    r0 = np.asarray(screen_radii(conic, jnp.asarray([False])))
+    np.testing.assert_allclose(r0, [0.0])
 
 
 def test_trainer_densify_integration():
