@@ -492,7 +492,7 @@ def selftest(args):
     err_img = float(jnp.max(jnp.abs(img_p - img_j)))
     err_trans = float(jnp.max(jnp.abs(trans_p - trans_j)))
     mean_img = float(jnp.mean(img_p))
-    ok = err_img < 1e-4 and err_trans < 1e-4 and np.isfinite(mean_img)
+    ok = bool(err_img < 1e-4 and err_trans < 1e-4 and np.isfinite(mean_img))
     return {
         "metric": "selftest_pallas_vs_jnp_max_abs_err",
         "value": err_img,
