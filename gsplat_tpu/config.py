@@ -72,6 +72,17 @@ class RasterConfig:
     # reduction. Sized like max_pairs (pair_block-aligned); worthwhile at
     # ~<=1/4 of max_pairs.
     reduce_pairs: int = 0
+    # Depth-sliced lazy binning (render/sliced.py): when > 0, the Pallas
+    # renderer processes pairs in front-to-back depth slices of this many
+    # pairs (pair_block multiple), stopping as soon as every tile's
+    # transmittance has collapsed below early_stop_transmittance — the
+    # P-scale sort/gather work then tracks *composited* pairs instead of
+    # total demand (at real MipNeRF-360 density early stop composites only
+    # ~6% of pair blocks; PROFILE_r04_real.txt). The total pair budget is
+    # still max_pairs: at most ceil(max_pairs / slice_pairs) slices run
+    # (deepest-gaussians-dropped overflow policy, as in ops/binning.py).
+    # 0 = the standard single-sort pipeline. Single-chip path only.
+    slice_pairs: int = 0
     # True: the forward's gathered pair-feature blocks are kept as a
     # residual and reused by the backward (saves the multi-M-row gather).
     # False: the backward regathers them — lower peak HBM residency across

@@ -50,25 +50,31 @@ def _bwd_kernel(
     blocks_done_ref,
     # inputs
     feat_hbm,  # [nblk, 16, pair_block] dense feature blocks
-    fwd_out_ref,  # [1, 8, npix]: rows 0-2 C_total, row 3 T_final
-    g_out_ref,  # [1, 8, npix]: rows 0-2 dL/dC, row 3 dL/dT_final
-    basis_ref,  # [1, npix, 16]: cols {1, px, py, px^2, py^2, px*py} (tile-
-    # local) + {g_r, g_g, g_b} (this tile's color cotangent, as columns)
-    # outputs
-    grad_hbm,  # [nblk_out, 16, pair_block] dense gradient blocks
-    # scratch
-    slab,
-    in_sems,
-    gbuf,  # [pair_block, 16] row-major gradient accumulator
-    gslab,
-    out_sems,
-    carry,
-    *,
+    # non-carry: fwd_out_ref [1, 8, npix] (rows 0-2 C_total, row 3 T_final)
+    # then g_out_ref, basis_ref; with_carry: g_out_ref, basis_ref,
+    # carry_in_ref [1, 2, npix] (the walk state after the previous depth
+    # slice — fwd_out is folded into it, so it is not re-read).
+    # outputs: grad_hbm (+ carry_out_ref [1, 2, npix] with_carry)
+    *refs,
     n_tiles_x: int,
     tile_size: int,
     chunk_size: int,
     pair_block: int,
+    with_carry: bool = False,
 ):
+    if with_carry:
+        (
+            g_out_ref, basis_ref, carry_in_ref,
+            grad_hbm, carry_out_ref,
+            slab, in_sems, gbuf, gslab, out_sems, carry,
+        ) = refs
+        fwd_out_ref = None
+    else:
+        (
+            fwd_out_ref, g_out_ref, basis_ref,
+            grad_hbm,
+            slab, in_sems, gbuf, gslab, out_sems, carry,
+        ) = refs
     t = pl.program_id(0)
     start = tile_start_ref[t]  # in pairs; a multiple of pair_block
     count = tile_count_ref[t]
@@ -100,13 +106,16 @@ def _bwd_kernel(
     #          the cotangent; the transmittance cotangent term shares the
     #          -1/(1-alpha) suffix structure, so it rides the same row)
     #   row 1: T  = running transmittance
-    carry[0:1] = (
-        g_out_ref[0, 0:1, :] * fwd_out_ref[0, 0:1, :]
-        + g_out_ref[0, 1:2, :] * fwd_out_ref[0, 1:2, :]
-        + g_out_ref[0, 2:3, :] * fwd_out_ref[0, 2:3, :]
-        + g_out_ref[0, 3:4, :] * fwd_out_ref[0, 3:4, :]
-    )
-    carry[1:2] = jnp.ones((1, npix), jnp.float32)
+    if with_carry:
+        carry[0:2] = carry_in_ref[0]
+    else:
+        carry[0:1] = (
+            g_out_ref[0, 0:1, :] * fwd_out_ref[0, 0:1, :]
+            + g_out_ref[0, 1:2, :] * fwd_out_ref[0, 1:2, :]
+            + g_out_ref[0, 2:3, :] * fwd_out_ref[0, 2:3, :]
+            + g_out_ref[0, 3:4, :] * fwd_out_ref[0, 3:4, :]
+        )
+        carry[1:2] = jnp.ones((1, npix), jnp.float32)
 
     def get_dma(slot, b):
         return pltpu.make_async_copy(feat_hbm.at[blk0 + b], slab.at[slot], in_sems.at[slot])
@@ -265,6 +274,123 @@ def _bwd_kernel(
     def _():
         put_dma(jax.lax.rem(done - 1, 2), done - 1).wait()
 
+    if with_carry:
+        # Walk state after this slice, threaded into the next slice's call
+        # by the sliced backward (render/sliced.py).
+        carry_out_ref[0] = carry[0:2]
+
+
+def pack_tile_rows(rgb_tiles: jnp.ndarray, scalar_tiles: jnp.ndarray) -> jnp.ndarray:
+    """Pack per-tile rgb [T, npix, 3] + scalar [T, npix] as the kernels'
+    [T, 8, npix] row layout (rows 0-2 rgb, row 3 scalar, rows 4-7 zero)."""
+    f32 = jnp.float32
+    num_tiles, npix = scalar_tiles.shape
+    rgb = jnp.moveaxis(rgb_tiles.astype(f32), 2, 1)  # [T, 3, npix]
+    s = scalar_tiles.astype(f32)[:, None, :]  # [T, 1, npix]
+    pad = jnp.zeros((num_tiles, 4, npix), f32)
+    return jnp.concatenate([rgb, s, pad], axis=1)
+
+
+def reduction_basis(g_color: jnp.ndarray, tile_size: int) -> jnp.ndarray:
+    """The backward kernel's per-tile reduction basis [T, npix, 16]:
+    cols 0-5 the constant moment polynomials {1, px, py, px^2, py^2, px*py}
+    in tile-local pixel coordinates, cols 6-8 this tile's color cotangent
+    as columns (see _bwd_kernel's moments matmul)."""
+    f32 = jnp.float32
+    ts = tile_size
+    npix = ts * ts
+    num_tiles = g_color.shape[0]
+    lin = jnp.arange(npix, dtype=f32)
+    bx = lin % ts - (ts - 1) / 2.0
+    by = lin // ts - (ts - 1) / 2.0
+    moments = jnp.stack(
+        [jnp.ones_like(bx), bx, by, bx * bx, by * by, bx * by], axis=1
+    )  # [npix, 6]
+    return jnp.concatenate(
+        [
+            jnp.broadcast_to(moments, (num_tiles, npix, 6)),
+            g_color.astype(f32),
+            jnp.zeros((num_tiles, npix, 16 - 9), f32),
+        ],
+        axis=2,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_tiles_x", "cfg", "interpret"))
+def backward_tiles_carry(
+    pair_feat: jnp.ndarray,
+    tile_start: jnp.ndarray,
+    tile_count: jnp.ndarray,
+    tile_ids: jnp.ndarray,
+    blocks_done: jnp.ndarray,
+    g_out: jnp.ndarray,
+    basis: jnp.ndarray,
+    carry_in: jnp.ndarray,
+    n_tiles_x: int,
+    cfg: RasterConfig,
+    interpret: bool = False,
+):
+    """One depth slice of the sliced backward (render/sliced.py): walk this
+    slice's feature blocks front-to-back from the per-tile carry state
+    ``carry_in`` [T, 2, npix] (row 0 the cotangent-contracted suffix signal,
+    row 1 the running transmittance — initialized by the caller from the
+    forward's FINAL outputs exactly like the non-carry kernel does
+    internally), writing per-pair gradient blocks and the carry state after
+    the slice.
+
+    Returns (pair_grads [nblk, 16, pair_block] f32, carry_out [T, 2, npix]).
+    The caller masks unwritten rows (early-terminated tails / skipped
+    tiles) before reducing — same contract as backward_tiles_pallas."""
+    ts = cfg.tile_size
+    cs = cfg.chunk_size
+    blk = cfg.pair_block
+    npix = ts * ts
+    num_tiles = tile_ids.shape[0]
+    nblk_out = pair_feat.shape[0]
+
+    kernel = functools.partial(
+        _bwd_kernel, n_tiles_x=n_tiles_x, tile_size=ts, chunk_size=cs,
+        pair_block=blk, with_carry=True,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 8, npix), lambda t, s, c, i, d: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npix, 16), lambda t, s, c, i, d: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, npix), lambda t, s, c, i, d: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 2, npix), lambda t, s, c, i, d: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, blk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((blk, 16), jnp.float32),
+            pltpu.VMEM((2, 16, blk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, npix), jnp.float32),
+        ],
+    )
+    pair_grads, carry_out = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nblk_out, 16, blk), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 2, npix), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=int(nblk_out) * blk * npix * 50,
+            bytes_accessed=int(nblk_out) * blk * 128 + num_tiles * npix * 32,
+            transcendentals=int(nblk_out) * blk * npix,
+        ),
+    )(tile_start, tile_count, tile_ids, blocks_done, pair_feat, g_out, basis, carry_in)
+    return pair_grads, carry_out
+
 
 @functools.partial(
     jax.jit, static_argnames=("n_tiles_x", "cfg", "interpret")
@@ -317,34 +443,9 @@ def backward_tiles_pallas(
         pair_feat = build_pair_feat(feat, pair_gaussian, blk)
 
     f32 = jnp.float32
-    # Pack per-tile forward outputs and cotangents as [T, 8, npix].
-    def pack(rgb_tiles, scalar_tiles):
-        rgb = jnp.moveaxis(rgb_tiles.astype(f32), 2, 1)  # [T, 3, npix]
-        s = scalar_tiles.astype(f32)[:, None, :]  # [T, 1, npix]
-        pad = jnp.zeros((num_tiles, 4, npix), f32)
-        return jnp.concatenate([rgb, s, pad], axis=1)
-
-    fwd_out = pack(color_tiles, trans_tiles)
-    g_out = pack(g_color, g_trans)
-
-    # Per-tile reduction basis [T, npix, 16]: cols 0-5 the constant moment
-    # polynomials {1, px, py, px^2, py^2, px*py} in tile-local pixel
-    # coordinates (row-major within the tile), cols 6-8 this tile's color
-    # cotangent as columns (g_color is already [T, npix, 3] pixel-major).
-    lin = jnp.arange(npix, dtype=f32)
-    bx = lin % ts - (ts - 1) / 2.0
-    by = lin // ts - (ts - 1) / 2.0
-    moments = jnp.stack(
-        [jnp.ones_like(bx), bx, by, bx * bx, by * by, bx * by], axis=1
-    )  # [npix, 6]
-    basis = jnp.concatenate(
-        [
-            jnp.broadcast_to(moments, (num_tiles, npix, 6)),
-            g_color.astype(f32),
-            jnp.zeros((num_tiles, npix, 16 - 9), f32),
-        ],
-        axis=2,
-    )  # [T, npix, 16]
+    fwd_out = pack_tile_rows(color_tiles, trans_tiles)
+    g_out = pack_tile_rows(g_color, g_trans)
+    basis = reduction_basis(g_color, ts)
 
     if blocks_done is None:
         blocks_done = -(-tile_count // blk)

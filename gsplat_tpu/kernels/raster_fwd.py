@@ -72,19 +72,19 @@ def _fwd_kernel(
     tile_ids_ref,
     # inputs
     feat_hbm,  # [nblk, 16, pair_block] dense feature blocks
-    # outputs
-    out_ref,
-    # scratch
-    slab,
-    sems,
-    accum,
-    *,
+    # (with_carry) init_ref: [1, 8, npix] — carry-in accumulator state
+    *refs,
     n_tiles_x: int,
     tile_size: int,
     chunk_size: int,
     pair_block: int,
     early_stop: float,
+    with_carry: bool = False,
 ):
+    if with_carry:
+        init_ref, out_ref, slab, sems, accum = refs
+    else:
+        out_ref, slab, sems, accum = refs
     t = pl.program_id(0)
     start = tile_start_ref[t]  # in pairs; a multiple of pair_block
     count = tile_count_ref[t]
@@ -101,9 +101,15 @@ def _fwd_kernel(
     px = (tx * tile_size + lin % tile_size).astype(jnp.float32)
     py = (ty * tile_size + lin // tile_size).astype(jnp.float32)
 
-    accum[0:3] = jnp.zeros((3, npix), jnp.float32)
-    accum[3:8] = jnp.zeros((5, npix), jnp.float32)
-    accum[3:4] = jnp.ones((1, npix), jnp.float32)
+    if with_carry:
+        # Resume compositing from a previous depth slice's state (rows 0-2
+        # color so far, row 3 running transmittance; row 4 — the previous
+        # call's blocks_done — is overwritten below).
+        accum[0:8] = init_ref[0]
+    else:
+        accum[0:3] = jnp.zeros((3, npix), jnp.float32)
+        accum[3:8] = jnp.zeros((5, npix), jnp.float32)
+        accum[3:4] = jnp.ones((1, npix), jnp.float32)
 
     def get_dma(slot, b):
         return pltpu.make_async_copy(feat_hbm.at[blk0 + b], slab.at[slot], sems.at[slot])
@@ -234,6 +240,73 @@ def build_pair_feat(
         )
 
     return jax.lax.fori_loop(0, nseg, body, out)
+
+
+@functools.partial(jax.jit, static_argnames=("n_tiles_x", "cfg", "interpret"))
+def forward_tiles_carry(
+    pair_feat: jnp.ndarray,
+    tile_start: jnp.ndarray,
+    tile_count: jnp.ndarray,
+    tile_ids: jnp.ndarray,
+    init_accum: jnp.ndarray,
+    n_tiles_x: int,
+    cfg: RasterConfig,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One depth slice of the sliced compositor (render/sliced.py): resume
+    per-tile compositing from ``init_accum`` ([T, 8, npix]: rows 0-2 color
+    so far, row 3 running transmittance) over this slice's dense feature
+    blocks, and return the updated accumulator — row 4 holds the feature
+    blocks composited by THIS call (the backward's per-slice done-walk
+    bound). Tiles with ``tile_count == 0`` pass their state through
+    untouched."""
+    ts = cfg.tile_size
+    cs = cfg.chunk_size
+    blk = cfg.pair_block
+    assert blk % cs == 0, "pair_block must be a multiple of chunk_size"
+    npix = ts * ts
+    num_tiles = tile_ids.shape[0]
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        n_tiles_x=n_tiles_x,
+        tile_size=ts,
+        chunk_size=cs,
+        pair_block=blk,
+        early_stop=cfg.early_stop_transmittance,
+        with_carry=True,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, 8, npix), lambda t, s, c, i: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, npix), lambda t, s, c, i: (t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, blk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((8, npix), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, npix), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=int(pair_feat.shape[0]) * blk * npix * 20,
+            bytes_accessed=int(pair_feat.shape[0]) * blk * 64
+            + num_tiles * npix * 32,
+            transcendentals=int(pair_feat.shape[0]) * blk * npix,
+        ),
+    )(tile_start, tile_count, tile_ids, pair_feat, init_accum)
 
 
 @functools.partial(jax.jit, static_argnames=("n_tiles_x", "cfg", "interpret"))

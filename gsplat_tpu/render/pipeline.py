@@ -93,6 +93,16 @@ def render_traced(
     """
     prep = preprocess_traced(model, cam, width, height, cfg, screen_offset)
     feat = binning.pack_features(prep)
+    if _use_pallas(cfg) and cfg.slice_pairs > 0:
+        # Depth-sliced lazy binning: P-scale sort work tracks composited
+        # pairs, not total demand (render/sliced.py).
+        from gsplat_tpu.render.sliced import render_sliced_tiles
+
+        color, trans = render_sliced_tiles(prep, feat, width, height, cfg)
+        return (
+            tiles_to_image(color, width, height, cfg.tile_size),
+            tiles_to_image(trans, width, height, cfg.tile_size),
+        )
     if _use_pallas(cfg):
         # Fused path: the 13 feature columns ride the pair sort, so binning
         # emits the kernels' dense pair slab directly — no post-sort P-row

@@ -1,0 +1,439 @@
+"""Depth-sliced lazy binning + rasterization (the real-density fast path).
+
+The standard pipeline (ops/binning.py) sorts EVERY (tile, gaussian) pair of
+the view before the compositor runs — at real MipNeRF-360 density (~40M
+pairs, 1080p) the round-4 stage breakdown (PROFILE_r04_real.txt) measured
+that sort+slab at 76% of the frame while early termination composites only
+~6% of the pair blocks. This module makes the P-scale work lazy so it
+scales with *composited* pairs instead:
+
+  1. Gaussians are depth-sorted ONCE at N scale (5M rows, ~8x smaller than
+     the pair scale, and O(N log N) with one i32 payload). Ties resolve to
+     gaussian-id order — lexicographic (depth, id), exactly the reference's
+     stable argsort semantics (rasterize.py:424-425).
+  2. Pairs are then emitted in global front-to-back depth order, so a
+     contiguous range of sorted gaussians is a *depth slice*: per-slice
+     binning needs only ONE stable 1-key sort by tile id (depth ordering
+     rides the emission order through the stable sort), carrying the 13
+     feature columns exactly like the fused path.
+  3. A ``lax.while_loop`` processes slices of ``cfg.slice_pairs`` pairs
+     front-to-back, carrying the per-tile compositing state ([T, 8, npix]
+     accumulators) through the carry-in Pallas kernels
+     (kernels/raster_fwd.forward_tiles_carry / raster_bwd
+     backward_tiles_carry) and a per-tile ``done`` flag (transmittance
+     below ``cfg.early_stop_transmittance`` — the same check the in-kernel
+     early stop uses). The loop exits as soon as EVERY tile is done: the
+     deep pairs the compositor would never read are never binned, never
+     sorted, never gathered.
+  4. Whole gaussians whose rect covers only done tiles are culled per slice
+     with a separable bilinear query (y_mask @ notdone2d · x_mask — two
+     tiny MXU ops, no gathers), so late slices fill with pairs that can
+     still matter.
+
+Semantics: identical to the standard Pallas path at the same
+``early_stop_transmittance`` (done is checked at slice granularity with
+the same threshold the kernel checks at block granularity; alignment-pad
+sentinels are exactly neutral: x*1.0 and x+0.0). With early stop disabled
+the loop runs every slice and the result is bitwise-equal to the unsliced
+compositor in exact mode. Overflow policy matches ops/binning.py: at most
+``ceil(cfg.max_pairs / cfg.slice_pairs)`` slices run, so the deepest whole
+gaussians are dropped when demand exceeds the budget.
+
+The backward replays executed slices front-to-back (recompute design of
+kernels/raster_bwd.py), threading the walk-state carry, re-gathering each
+slice's feature blocks from the stored pair ids (64 B/pair, block-granular)
+and reducing each slice's pair gradients to its (disjoint!) range of
+depth-sorted gaussians with the sort+cumsum segment reduction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gsplat_tpu.config import RasterConfig
+from gsplat_tpu.ops import binning as B
+from gsplat_tpu.ops.projection import Preprocessed
+
+_I32 = jnp.int32
+_U32 = jnp.uint32
+_F32 = jnp.float32
+
+
+def _monotone_depth_key(depth: jnp.ndarray) -> jnp.ndarray:
+    """f32 depth -> uint32 with the same total order (ops/binning.py)."""
+    bits = jax.lax.bitcast_convert_type(depth.astype(_F32), _U32)
+    return jnp.where(
+        (bits & _U32(0x80000000)) != 0, ~bits, bits | _U32(0x80000000)
+    )
+
+
+def _grid(width: int, height: int, ts: int) -> Tuple[int, int, int]:
+    ntxg = -(-width // ts)
+    ntyg = -(-height // ts)
+    return ntxg, ntyg, ntxg * ntyg
+
+
+def _sizes(cfg: RasterConfig, num_tiles: int):
+    """Static buffer sizes of one slice."""
+    align = cfg.pair_block
+    s_cap = cfg.slice_pairs
+    assert s_cap % align == 0, "slice_pairs must be a pair_block multiple"
+    assert s_cap >= num_tiles, (
+        "slice_pairs must cover one gaussian's worst-case tile count "
+        f"({num_tiles}) to guarantee forward progress"
+    )
+    k_max = max(-(-cfg.max_pairs // s_cap), 1)
+    padcap = num_tiles * (align - 1)
+    p_buf = s_cap + padcap
+    nblk_s = -(-p_buf // align)
+    s_store = nblk_s * align
+    return align, s_cap, k_max, padcap, p_buf, nblk_s, s_store
+
+
+def _alive_mask(done, g0, iota_n, tx0, ty0, ntx, nty, ntxg, ntyg, es):
+    """Un-consumed gaussians whose rect still touches a not-done tile.
+
+    The not-done count over a rect is a separable bilinear form
+    ``y_g^T @ notdone2d @ x_g`` — one [N, ntyg] x [ntyg, ntxg] matmul and an
+    elementwise masked row-sum, no gathers. 0/1 inputs with f32 accumulation
+    are exact (values <= num_tiles), so the q > 0.5 test is crisp.
+    """
+    if es <= 0.0:
+        return iota_n >= g0
+    ndm = jnp.logical_not(done).reshape(ntyg, ntxg).astype(jnp.bfloat16)
+    tyc = jax.lax.broadcasted_iota(_I32, (1, ntyg), 1)
+    txc = jax.lax.broadcasted_iota(_I32, (1, ntxg), 1)
+    ym = ((tyc >= ty0[:, None]) & (tyc < (ty0 + nty)[:, None])).astype(
+        jnp.bfloat16
+    )
+    xm = ((txc >= tx0[:, None]) & (txc < (tx0 + ntx)[:, None])).astype(_F32)
+    rowhit = jax.lax.dot_general(
+        ym, ndm,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=_F32,
+    )  # [N, ntxg]
+    q = jnp.sum(rowhit * xm, axis=1)
+    return (q > 0.5) & (iota_n >= g0)
+
+
+def _slice_counts(alive, g1, cnt, iota_n):
+    """Per-gaussian kept pairs of the slice [g0 is baked into alive]."""
+    in_slice = alive & (iota_n < g1)
+    return jnp.where(in_slice, cnt, 0), in_slice
+
+
+def _bin_slice(table, cnt_k, in_slice, cum, pairs_k, tx0, ty0, ntx, nty,
+               done, ntxg, ntyg, cfg):
+    """Build one slice's sorted pair buffer + dense feature slab.
+
+    Returns (pair_feat [nblk_s, 16, align], pair_ids [s_store] i32 —
+    depth-SORTED gaussian index per slot, sentinel N — tile_start [T],
+    tile_count [T] true counts)."""
+    n = cnt_k.shape[0]
+    num_tiles = ntxg * ntyg
+    align, s_cap, _, padcap, p_buf, nblk_s, s_store = _sizes(cfg, num_tiles)
+    iota_n = jax.lax.broadcasted_iota(_I32, (n, 1), 0).squeeze(-1)
+
+    # Segment layout: slices are contiguous in the depth-sorted emission
+    # order, so segments tile [0, pairs_k) back-to-back — every slot below
+    # pairs_k is valid by construction (no per-slot count check needed).
+    eff = in_slice & (cnt_k > 0)
+    off = cum - cnt_k
+    starts = jnp.where(eff, off, s_cap)
+    m_id = jnp.zeros((s_cap,), _I32).at[starts].max(iota_n, mode="drop")
+    m_off = jnp.zeros((s_cap,), _I32).at[starts].max(starts, mode="drop")
+    pair_sg = jax.lax.cummax(m_id)  # depth-sorted gaussian index per slot
+    seg_off = jax.lax.cummax(m_off)
+    slot = jax.lax.broadcasted_iota(_I32, (s_cap, 1), 0).squeeze(-1)
+    local = slot - seg_off
+
+    rows = table[pair_sg]  # [s_cap, 16] i32 (tx0, ty0, ntx, 13 feat cols)
+    w = jnp.maximum(rows[:, 2], 1)
+    tx_p = rows[:, 0] + local % w
+    ty_p = rows[:, 1] + local // w
+    valid = slot < pairs_k
+    key = jnp.where(valid, ty_p * ntxg + tx_p, num_tiles)
+    vals = jnp.where(valid, pair_sg, n)
+    feats13 = jnp.where(
+        valid[:, None],
+        jax.lax.bitcast_convert_type(rows[:, 3:16], _F32),
+        0.0,
+    )
+
+    # Per-tile counts: the separable MXU histogram over this slice's
+    # gaussians (ops/binning.py step 3).
+    ntxp = -(-ntxg // 128) * 128
+    ntyp = -(-ntyg // 8) * 8
+    txc = jax.lax.broadcasted_iota(_I32, (1, ntxp), 1)
+    tyc = jax.lax.broadcasted_iota(_I32, (1, ntyp), 1)
+    keep = eff[:, None]
+    xm = ((txc >= tx0[:, None]) & (txc < (tx0 + ntx)[:, None]) & keep).astype(
+        jnp.bfloat16
+    )
+    ym = ((tyc >= ty0[:, None]) & (tyc < (ty0 + nty)[:, None]) & keep).astype(
+        jnp.bfloat16
+    )
+    counts2d = jax.lax.dot_general(
+        ym, xm,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=_F32,
+    )
+    tile_count = counts2d[:ntyg, :ntxg].reshape(num_tiles).astype(_I32)
+
+    # Alignment pads as explicit sort keys (stable sort keeps them after
+    # each tile's real pairs; they carry the zero feature row).
+    aligned = -(-tile_count // align) * align
+    pad_t = aligned - tile_count
+    pj = jax.lax.broadcasted_iota(_I32, (num_tiles, align - 1), 1)
+    ptile = jax.lax.broadcasted_iota(_I32, (num_tiles, align - 1), 0)
+    pad_keys = jnp.where(pj < pad_t[:, None], ptile, num_tiles).reshape(padcap)
+    keys_all = jnp.concatenate([key, pad_keys])
+    vals_all = jnp.concatenate([vals, jnp.full((padcap,), n, _I32)])
+    zpad = jnp.zeros((padcap,), _F32)
+    f_ops = tuple(
+        jnp.concatenate([feats13[:, j], zpad]) for j in range(13)
+    )
+    # ONE stable 1-key sort: emission order is already depth order, so a
+    # stable grouping by tile is a full (tile, depth, id) ordering.
+    sorted_ops = jax.lax.sort(
+        (keys_all, vals_all) + f_ops, num_keys=1, is_stable=True
+    )
+    pair_ids = jnp.pad(sorted_ops[1], (0, s_store - p_buf), constant_values=n)
+    tile_start = (jnp.cumsum(aligned) - aligned).astype(_I32)
+
+    tail = s_store - p_buf
+    cols = [jnp.pad(c, (0, tail)).reshape(nblk_s, align) for c in sorted_ops[2:]]
+    cols += [jnp.zeros((nblk_s, align), _F32)] * (16 - 13)
+    pair_feat = jnp.stack(cols, axis=1)  # [nblk_s, 16, align]
+    return pair_feat, pair_ids, tile_start, tile_count
+
+
+def _forward_impl(feat, order, cnt, tx0, ty0, ntx, nty, width, height, cfg):
+    """Run the slice loop. Returns (color, trans, residual dict)."""
+    from gsplat_tpu.kernels.raster_fwd import forward_tiles_carry
+
+    ts = cfg.tile_size
+    ntxg, ntyg, num_tiles = _grid(width, height, ts)
+    align, s_cap, k_max, padcap, p_buf, nblk_s, s_store = _sizes(cfg, num_tiles)
+    n = cnt.shape[0]
+    npix = ts * ts
+    es = cfg.early_stop_transmittance
+    iota_n = jax.lax.broadcasted_iota(_I32, (n, 1), 0).squeeze(-1)
+    tile_ids = jnp.arange(num_tiles, dtype=_I32)
+
+    # Depth-sorted feature/rect table: cols 0-2 = (tx0, ty0, ntx), cols
+    # 3-15 = the 13 live feature columns bitcast to i32 — one row gather
+    # resolves a pair slot's rect mapping AND its raster features.
+    table = jnp.concatenate(
+        [
+            tx0[:, None], ty0[:, None], ntx[:, None],
+            jax.lax.bitcast_convert_type(
+                feat[:-1][order][:, : B.NUM_LIVE_FEATURES].astype(_F32), _I32
+            ),
+        ],
+        axis=1,
+    )  # [N, 16]
+
+    accum0 = jnp.zeros((num_tiles, 8, npix), _F32).at[:, 3, :].set(1.0)
+    state0 = dict(
+        k=jnp.int32(0),
+        g0=jnp.int32(0),
+        accum=accum0,
+        done=jnp.zeros((num_tiles,), bool),
+        ids=jnp.full((k_max, s_store), n, _I32),
+        starts=jnp.zeros((k_max, num_tiles), _I32),
+        countc=jnp.zeros((k_max, num_tiles), _I32),
+        bdone=jnp.zeros((k_max, num_tiles), _I32),
+        dsnap=jnp.zeros((k_max, num_tiles), bool),
+        gb=jnp.zeros((k_max + 1,), _I32),
+    )
+
+    def cond(c):
+        go = (c["k"] < k_max) & (c["g0"] < n)
+        if es > 0.0:
+            go = go & jnp.logical_not(jnp.all(c["done"]))
+        return go
+
+    def body(c):
+        k, g0, done = c["k"], c["g0"], c["done"]
+        alive = _alive_mask(done, g0, iota_n, tx0, ty0, ntx, nty, ntxg, ntyg, es)
+        cnt_k0 = jnp.where(alive, cnt, 0)
+        cum = jnp.cumsum(cnt_k0)
+        # Largest prefix fitting the slice: first index with cum > s_cap.
+        g1 = jnp.searchsorted(cum, _I32(s_cap), side="right").astype(_I32)
+        pairs_k = jnp.where(g1 > 0, cum[jnp.maximum(g1 - 1, 0)], 0)
+        cnt_k, in_slice = _slice_counts(alive, g1, cnt, iota_n)
+
+        pair_feat, pair_ids, tile_start, tile_count = _bin_slice(
+            table, cnt_k, in_slice, cum, pairs_k, tx0, ty0, ntx, nty,
+            done, ntxg, ntyg, cfg,
+        )
+        countc = jnp.where(done, 0, tile_count)
+        accum = forward_tiles_carry(
+            pair_feat, tile_start, countc, tile_ids, c["accum"], ntxg, cfg,
+            interpret=cfg.force_pallas_interpret,
+        )
+        bdone = accum[:, 4, 0].astype(_I32)
+        new_done = done
+        if es > 0.0:
+            new_done = done | (jnp.max(accum[:, 3, :], axis=1) < es)
+
+        upd = lambda store, row: jax.lax.dynamic_update_slice(
+            store, row[None], (k,) + (0,) * row.ndim
+        )
+        return dict(
+            k=k + 1,
+            g0=g1,
+            accum=accum,
+            done=new_done,
+            ids=upd(c["ids"], pair_ids),
+            starts=upd(c["starts"], tile_start),
+            countc=upd(c["countc"], countc),
+            bdone=upd(c["bdone"], bdone),
+            dsnap=upd(c["dsnap"], done),
+            gb=jax.lax.dynamic_update_slice(c["gb"], g1[None], (k + 1,)),
+        )
+
+    out = jax.lax.while_loop(cond, body, state0)
+    color = jnp.moveaxis(out["accum"][:, 0:3, :], 1, 2)  # [T, npix, 3]
+    trans = out["accum"][:, 3, :]
+    return color.astype(feat.dtype), trans.astype(feat.dtype), out
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _rasterize_sliced(feat, order, cnt, tx0, ty0, ntx, nty, width, height, cfg):
+    color, trans, _ = _forward_impl(
+        feat, order, cnt, tx0, ty0, ntx, nty, width, height, cfg
+    )
+    return color, trans
+
+
+def _fwd(feat, order, cnt, tx0, ty0, ntx, nty, width, height, cfg):
+    color, trans, out = _forward_impl(
+        feat, order, cnt, tx0, ty0, ntx, nty, width, height, cfg
+    )
+    residuals = (
+        feat, order, cnt, tx0, ty0, ntx, nty, color, trans,
+        out["k"], out["ids"], out["starts"], out["countc"], out["bdone"],
+        out["dsnap"], out["gb"],
+    )
+    return (color, trans), residuals
+
+
+def _bwd(width, height, cfg, residuals, cotangents):
+    import numpy as np
+
+    from gsplat_tpu.kernels.raster_bwd import (
+        backward_tiles_carry, pack_tile_rows, reduction_basis,
+    )
+    from gsplat_tpu.kernels.raster_fwd import build_pair_feat
+
+    (
+        feat, order, cnt, tx0, ty0, ntx, nty, color, trans,
+        k_exec, ids, starts, countc, bdone, dsnap, gb,
+    ) = residuals
+    g_color, g_trans = cotangents
+    ts = cfg.tile_size
+    ntxg, ntyg, num_tiles = _grid(width, height, ts)
+    align, s_cap, k_max, padcap, p_buf, nblk_s, s_store = _sizes(cfg, num_tiles)
+    n = cnt.shape[0]
+    es = cfg.early_stop_transmittance
+    iota_n = jax.lax.broadcasted_iota(_I32, (n, 1), 0).squeeze(-1)
+    tile_ids = jnp.arange(num_tiles, dtype=_I32)
+
+    g_out = pack_tile_rows(g_color, g_trans)
+    basis = reduction_basis(g_color, ts)
+    fwd_out = pack_tile_rows(color, trans)
+    # Walk-state init, exactly the non-carry kernel's (raster_bwd.py):
+    # row 0 the cotangent-contracted suffix signal, row 1 transmittance 1.
+    row0 = jnp.sum(g_out[:, 0:4, :] * fwd_out[:, 0:4, :], axis=1)  # [T, npix]
+    carry = jnp.stack([row0, jnp.ones_like(row0)], axis=1)  # [T, 2, npix]
+
+    feat_s = jnp.concatenate(
+        [feat[:-1][order].astype(_F32), jnp.zeros((1, feat.shape[1]), _F32)]
+    )  # depth-sorted rows + sentinel zero row at index n
+
+    def slice_bwd(k, st):
+        carry, d_sorted = st
+        ids_k = ids[k]
+        pair_feat = build_pair_feat(feat_s, ids_k, align)
+        pair_grads, carry = backward_tiles_carry(
+            pair_feat, starts[k], countc[k], tile_ids, bdone[k],
+            g_out, basis, carry, ntxg, cfg,
+            interpret=cfg.force_pallas_interpret,
+        )
+        # Rows the kernel wrote: each not-done tile's first bdone blocks
+        # (raster_bwd.py written_mask).
+        delta = jnp.zeros((s_store + 1,), _I32)
+        delta = delta.at[starts[k]].add(1, mode="drop")
+        delta = delta.at[starts[k] + bdone[k] * align].add(-1, mode="drop")
+        written = jnp.cumsum(delta[:-1]) > 0
+        cols = [
+            jnp.where(written, pair_grads[:, j, :].reshape(-1), 0.0)
+            for j in range(9)
+        ]
+        sorted_c = jax.lax.sort((ids_k, *cols), num_keys=1, is_stable=False)
+        cum9 = jnp.stack([jnp.cumsum(c) for c in sorted_c[1:]], axis=1)
+        # Segment ends from the slice's recomputed per-gaussian counts
+        # (slices partition the depth-sorted gaussians, so writes to
+        # d_sorted are disjoint across slices).
+        alive = _alive_mask(
+            dsnap[k], gb[k], iota_n, tx0, ty0, ntx, nty, ntxg, ntyg, es
+        )
+        cnt_k, _ = _slice_counts(alive, gb[k + 1], cnt, iota_n)
+        ends = jnp.cumsum(cnt_k)
+        at = jnp.maximum(ends - 1, 0)
+        gathered = jnp.where((ends > 0)[:, None], cum9[at], 0.0)
+        prev = jnp.concatenate([jnp.zeros((1, 9), _F32), gathered[:-1]], axis=0)
+        return carry, d_sorted + (gathered - prev)
+
+    d0 = jnp.zeros((n, 9), _F32)
+    _, d_sorted = jax.lax.fori_loop(0, k_exec, slice_bwd, (carry, d0))
+    # Unpermute from depth-sorted to original gaussian ids (the sentinel
+    # row n stays zero).
+    d9 = jnp.zeros((n + 1, 9), _F32).at[order].set(d_sorted)
+    d_feat = jnp.pad(d9, ((0, 0), (0, feat.shape[1] - 9))).astype(feat.dtype)
+
+    def int_zero(x):
+        return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+    return (d_feat, int_zero(order), int_zero(cnt), int_zero(tx0),
+            int_zero(ty0), int_zero(ntx), int_zero(nty))
+
+
+_rasterize_sliced.defvjp(_fwd, _bwd)
+
+
+def render_sliced_tiles(
+    prep: Preprocessed,
+    feat: jnp.ndarray,
+    width: int,
+    height: int,
+    cfg: RasterConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Depth-sliced render of one view at tile level.
+
+    Args: prep — the per-gaussian preprocess; feat — [N+1, 16] packed
+    features (ops/binning.pack_features; the differentiable surface).
+    Returns (color [T, npix, 3], trans [T, npix]) for the full tile grid.
+    Requires the Pallas path (TPU or interpreter mode).
+    """
+    ts = cfg.tile_size
+    ntxg, ntyg, _ = _grid(width, height, ts)
+    n = prep.depth.shape[0]
+    iota_n = jnp.arange(n, dtype=_I32)
+
+    dkey = _monotone_depth_key(prep.depth)
+    # Stable 1-key sort: ties keep id order -> (depth, id) lexicographic,
+    # the reference's stable argsort semantics.
+    order = jax.lax.sort((dkey, iota_n), num_keys=1, is_stable=True)[1]
+    tx0, ty0, ntx, nty = B.tile_ranges(prep.cull_bbox, ts, ntxg, ntyg)
+    counts = jnp.where(prep.active, ntx * nty, 0).astype(_I32)
+    return _rasterize_sliced(
+        feat, order, counts[order], tx0[order], ty0[order], ntx[order],
+        nty[order], width, height, cfg,
+    )

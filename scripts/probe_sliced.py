@@ -1,0 +1,79 @@
+"""On-chip probe: depth-sliced pipeline vs the standard production config
+at real MipNeRF-360 density (5M gaussians, ~40M pairs, 1080p).
+
+Measures full fwd+bwd steps (render + loss + grads) for the round-3
+production config (single-sort, early-stop + compacted reduction) and the
+sliced pipeline at several slice capacities. Not a test; a tuning tool.
+
+Usage: python scripts/probe_sliced.py [--n 5000000] [--slices 2097152,4194304]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+
+from bench import (
+    HEIGHT, WIDTH, bench_camera, build_scene, sized_capacity, time_fwd_bwd,
+)
+from gsplat_tpu import RasterConfig
+from gsplat_tpu.ops.camera import CameraArrays
+
+T0 = time.time()
+
+
+def log(msg):
+    print(f"[{time.time()-T0:7.1f}s] {msg}", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=5_000_000)
+    ap.add_argument("--shift", type=float, default=1.9)
+    ap.add_argument("--slack", type=float, default=1.05)
+    ap.add_argument("--early-stop", type=float, default=1e-4)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--slices", default="2097152,4194304,8388608")
+    args = ap.parse_args()
+
+    model = build_scene(args.n, args.shift)
+    np.asarray(model.means.ravel()[:1])
+    log("device scene built")
+    cam = CameraArrays.from_params(bench_camera())
+    target = jnp.zeros((HEIGHT, WIDTH, 3), jnp.float32) + 0.25
+    cap, demand = sized_capacity(model, cam, headroom=args.slack)
+    log(f"demand={demand} ({demand/args.n:.2f} pairs/g) cap={cap}")
+
+    def cfg(slice_pairs=0, reduce_pairs=0):
+        return RasterConfig(
+            tile_size=32, chunk_size=32, max_pairs=cap,
+            early_stop_transmittance=args.early_stop,
+            use_pallas=True, reduce_pairs=reduce_pairs,
+            slice_pairs=slice_pairs,
+        )
+
+    el, loss = time_fwd_bwd(model, cam, target,
+                            cfg(reduce_pairs=cap // 4), iters=args.iters)
+    log(f"standard (single-sort, compact-reduce): {el*1e3:8.1f} ms/frame "
+        f"= {1/el:.3f} fps  (loss {loss:.5f})")
+
+    for s in [int(x) for x in args.slices.split(",") if x]:
+        try:
+            el, loss = time_fwd_bwd(model, cam, target, cfg(slice_pairs=s),
+                                    iters=args.iters)
+            log(f"sliced slice_pairs={s:>9}: {el*1e3:8.1f} ms/frame "
+                f"= {1/el:.3f} fps  (loss {loss:.5f})")
+        except Exception as exc:
+            log(f"sliced slice_pairs={s}: FAILED {type(exc).__name__}: {exc}")
+
+
+if __name__ == "__main__":
+    main()
