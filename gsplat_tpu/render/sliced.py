@@ -360,7 +360,10 @@ def _bwd(width, height, cfg, residuals, cotangents):
     def slice_bwd(k, st):
         carry, d_sorted = st
         ids_k = ids[k]
-        pair_feat = build_pair_feat(feat_s, ids_k, align)
+        # build_pair_feat's chunked path rounds its block count up to a
+        # gather-segment multiple; trim to the slice's own block count so
+        # the gradient slab lines up with the written mask.
+        pair_feat = build_pair_feat(feat_s, ids_k, align)[:nblk_s]
         pair_grads, carry = backward_tiles_carry(
             pair_feat, starts[k], countc[k], tile_ids, bdone[k],
             g_out, basis, carry, ntxg, cfg,

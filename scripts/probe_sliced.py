@@ -42,6 +42,7 @@ def main():
     ap.add_argument("--early-stop", type=float, default=1e-4)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--slices", default="2097152,4194304,8388608")
+    ap.add_argument("--skip-standard", action="store_true")
     args = ap.parse_args()
 
     model = build_scene(args.n, args.shift)
@@ -60,10 +61,11 @@ def main():
             slice_pairs=slice_pairs,
         )
 
-    el, loss = time_fwd_bwd(model, cam, target,
-                            cfg(reduce_pairs=cap // 4), iters=args.iters)
-    log(f"standard (single-sort, compact-reduce): {el*1e3:8.1f} ms/frame "
-        f"= {1/el:.3f} fps  (loss {loss:.5f})")
+    if not args.skip_standard:
+        el, loss = time_fwd_bwd(model, cam, target,
+                                cfg(reduce_pairs=cap // 4), iters=args.iters)
+        log(f"standard (single-sort, compact-reduce): {el*1e3:8.1f} ms/frame "
+            f"= {1/el:.3f} fps  (loss {loss:.5f})")
 
     for s in [int(x) for x in args.slices.split(",") if x]:
         try:

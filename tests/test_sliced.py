@@ -167,3 +167,41 @@ def test_sliced_overflow_drops_deepest_and_stays_finite():
     roomy = dataclasses.replace(BASE, slice_pairs=1 << 10)
     _, tr_full = render_traced(model, cam, 64, 48, roomy)
     assert float(jnp.mean(tr)) >= float(jnp.mean(tr_full)) - 1e-6
+
+
+def test_sliced_bwd_chunked_gather_path():
+    """The backward regather uses build_pair_feat, whose chunked path
+    (pair count above seg_pairs) rounds its block count up to a segment
+    multiple — the sliced backward must still line up its gradient slab
+    with the slice's own block count. Exercise the chunked path by
+    shrinking seg_pairs to force >1 gather segment at test scale."""
+    from unittest import mock
+
+    from gsplat_tpu.kernels import raster_fwd
+
+    model, rng = _model(n=250, seed=5)
+    cam = CameraArrays.from_params(make_camera())
+    w_img = jnp.asarray(rng.normal(size=(48, 64, 3)).astype(np.float32))
+
+    def loss(m, cfg):
+        img, _ = render_traced(m, cam, 64, 48, cfg)
+        return jnp.sum(img * w_img)
+
+    cfg = dataclasses.replace(BASE, slice_pairs=1 << 10)
+    g_ref = jax.grad(lambda m: loss(m, cfg))(model)
+
+    orig = raster_fwd.build_pair_feat
+
+    def tiny_seg(feat, pair_gaussian, pair_block, seg_pairs=1 << 21):
+        return orig(feat, pair_gaussian, pair_block, seg_pairs=256)
+
+    with mock.patch.object(raster_fwd, "build_pair_feat", tiny_seg):
+        # render/sliced.py imports build_pair_feat inside _bwd, so the
+        # module attribute patch is what it resolves.
+        jax.clear_caches()
+        g_chunked = jax.grad(lambda m: loss(m, cfg))(model)
+    jax.clear_caches()
+    for name in ["means", "opacity_logits", "sh"]:
+        a = np.asarray(getattr(g_ref, name))
+        b = np.asarray(getattr(g_chunked, name))
+        np.testing.assert_allclose(b, a, rtol=0, atol=np.abs(a).max() * 1e-6)
