@@ -34,7 +34,7 @@ def _use_pallas(cfg: RasterConfig) -> bool:
 
 
 def _forward_impl(feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles_x, cfg,
-                  pair_feat=None):
+                  pair_feat=None, width=0, height=0):
     """Returns (color, trans, blocks_done, pair_feat). ``blocks_done`` [T]
     int32 is how many feature blocks each tile composited before early
     termination (== all blocks for the jnp path / when early stop is off);
@@ -52,6 +52,7 @@ def _forward_impl(feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles
         color, trans, blocks_done = forward_tiles_pallas(
             feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles_x,
             cfg, interpret=cfg.force_pallas_interpret, pair_feat=pair_feat,
+            width=width, height=height,
         )
         if not cfg.share_pair_feat:
             pair_feat = None
@@ -96,6 +97,8 @@ def rasterize_tiles(
     n_tiles_x: int,
     cfg: RasterConfig,
     pair_feat_i32: jnp.ndarray | None = None,
+    width: int = 0,
+    height: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Composite binned gaussians into per-tile pixel slabs.
 
@@ -121,7 +124,7 @@ def rasterize_tiles(
         pair_feat_i32 = jnp.zeros((0,), jnp.int32)  # absent sentinel
     return _rasterize_tiles(
         feat, pair_gaussian, tile_start, tile_count, tile_ids,
-        gaussian_counts, n_tiles_x, cfg, pair_feat_i32,
+        gaussian_counts, n_tiles_x, cfg, width, height, pair_feat_i32,
     )
 
 
@@ -131,23 +134,23 @@ def _bitcast_f32(pair_feat_i32):
     return jax.lax.bitcast_convert_type(pair_feat_i32, jnp.float32)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def _rasterize_tiles(
     feat, pair_gaussian, tile_start, tile_count, tile_ids, gaussian_counts,
-    n_tiles_x, cfg, pair_feat_i32,
+    n_tiles_x, cfg, width, height, pair_feat_i32,
 ):
     color, trans, _, _ = _forward_impl(
         feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles_x, cfg,
-        pair_feat=_bitcast_f32(pair_feat_i32),
+        pair_feat=_bitcast_f32(pair_feat_i32), width=width, height=height,
     )
     return color, trans
 
 
 def _fwd(feat, pair_gaussian, tile_start, tile_count, tile_ids, gaussian_counts,
-         n_tiles_x, cfg, pair_feat_i32):
+         n_tiles_x, cfg, width, height, pair_feat_i32):
     color, trans, blocks_done, pair_feat = _forward_impl(
         feat, pair_gaussian, tile_start, tile_count, tile_ids, n_tiles_x, cfg,
-        pair_feat=_bitcast_f32(pair_feat_i32),
+        pair_feat=_bitcast_f32(pair_feat_i32), width=width, height=height,
     )
     residuals = (
         feat, pair_gaussian, tile_start, tile_count, tile_ids,
@@ -161,7 +164,7 @@ def _int_zero_cotangent(x):
     return np.zeros(x.shape, dtype=jax.dtypes.float0)
 
 
-def _bwd(n_tiles_x, cfg, residuals, cotangents):
+def _bwd(n_tiles_x, cfg, width, height, residuals, cotangents):
     (
         feat, pair_gaussian, tile_start, tile_count, tile_ids,
         gaussian_counts, color, trans, blocks_done, pair_feat,

@@ -80,6 +80,8 @@ def _fwd_kernel(
     pair_block: int,
     early_stop: float,
     with_carry: bool = False,
+    width: int = 0,
+    height: int = 0,
 ):
     if with_carry:
         init_ref, out_ref, slab, sems, accum = refs
@@ -150,6 +152,22 @@ def _fwd_kernel(
         return accum[3:4]
 
     if early_stop > 0.0:
+        # Early-stop saturation is judged on COVERABLE pixels only. The
+        # reference's covering bbox clamps x_max/y_max to width-1/height-1
+        # *exclusive* (rasterize.py:154-198 two-step rounding; ops/
+        # projection.covering_bbox), so the frame's last pixel row/column —
+        # and, when the frame is not a tile multiple, the edge tiles'
+        # out-of-frame pixels — can NEVER receive a contribution: their
+        # transmittance stays 1.0 forever. An unmasked max would keep every
+        # edge tile compositing all its pairs (measured: 93 edge tiles were
+        # ~72% of all composited blocks at real density). Masking them is
+        # exact — no pair can touch those pixels.
+        if width > 0 and height > 0:
+            inframe = ((px < float(width - 1)) & (py < float(height - 1))).astype(
+                jnp.float32
+            )
+        else:
+            inframe = jnp.ones((1, npix), jnp.float32)
 
         def cond(state):
             b, stop = state
@@ -158,7 +176,7 @@ def _fwd_kernel(
         def body(state):
             b, _ = state
             new_trans = process_block(b)
-            return b + 1, jnp.max(new_trans) < early_stop
+            return b + 1, jnp.max(new_trans * inframe) < early_stop
 
         blocks_done, _ = jax.lax.while_loop(
             cond, body, (jnp.int32(0), jnp.zeros((), jnp.bool_))
@@ -242,7 +260,9 @@ def build_pair_feat(
     return jax.lax.fori_loop(0, nseg, body, out)
 
 
-@functools.partial(jax.jit, static_argnames=("n_tiles_x", "cfg", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("n_tiles_x", "cfg", "interpret", "width", "height")
+)
 def forward_tiles_carry(
     pair_feat: jnp.ndarray,
     tile_start: jnp.ndarray,
@@ -252,6 +272,8 @@ def forward_tiles_carry(
     n_tiles_x: int,
     cfg: RasterConfig,
     interpret: bool = False,
+    width: int = 0,
+    height: int = 0,
 ) -> jnp.ndarray:
     """One depth slice of the sliced compositor (render/sliced.py): resume
     per-tile compositing from ``init_accum`` ([T, 8, npix]: rows 0-2 color
@@ -275,6 +297,8 @@ def forward_tiles_carry(
         pair_block=blk,
         early_stop=cfg.early_stop_transmittance,
         with_carry=True,
+        width=width,
+        height=height,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -309,7 +333,9 @@ def forward_tiles_carry(
     )(tile_start, tile_count, tile_ids, pair_feat, init_accum)
 
 
-@functools.partial(jax.jit, static_argnames=("n_tiles_x", "cfg", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("n_tiles_x", "cfg", "interpret", "width", "height")
+)
 def forward_tiles_pallas(
     feat: jnp.ndarray,
     pair_gaussian: jnp.ndarray,
@@ -320,6 +346,8 @@ def forward_tiles_pallas(
     cfg: RasterConfig,
     interpret: bool = False,
     pair_feat: jnp.ndarray | None = None,
+    width: int = 0,
+    height: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Rasterize the given tiles with the Pallas kernel.
 
@@ -345,6 +373,8 @@ def forward_tiles_pallas(
         chunk_size=cs,
         pair_block=blk,
         early_stop=cfg.early_stop_transmittance,
+        width=width,
+        height=height,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

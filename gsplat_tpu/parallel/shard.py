@@ -192,7 +192,7 @@ def _shard_render_tiles(
     color, trans = rasterize_tiles(
         feat, bins.pair_gaussian, bins.tile_start, bins.tile_count,
         tile_ids, bins.gaussian_counts, lay.ntx_g, cfg,
-        pair_feat_i32=pair_feat_i32,
+        pair_feat_i32=pair_feat_i32, width=width, height=height,
     )
     return color, trans
 

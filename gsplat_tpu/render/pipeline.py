@@ -127,7 +127,7 @@ def render_traced(
     color, trans = rasterize_tiles(
         feat, bins.pair_gaussian, bins.tile_start, bins.tile_count,
         tile_ids, bins.gaussian_counts, n_tiles_x, cfg,
-        pair_feat_i32=pair_feat_i32,
+        pair_feat_i32=pair_feat_i32, width=width, height=height,
     )
     return (
         tiles_to_image(color, width, height, cfg.tile_size),

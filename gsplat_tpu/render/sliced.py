@@ -239,6 +239,18 @@ def _forward_impl(feat, order, cnt, tx0, ty0, ntx, nty, width, height, cfg):
     )  # [N, 16]
 
     accum0 = jnp.zeros((num_tiles, 8, npix), _F32).at[:, 3, :].set(1.0)
+    # Saturation is judged on COVERABLE pixels only: the reference's
+    # covering bbox clamps to width-1/height-1 exclusive (ops/projection
+    # covering_bbox), so the last pixel row/column — and any out-of-frame
+    # pixels of edge tiles — can never receive a contribution and their
+    # transmittance stays 1.0 forever. Without the mask the edge tiles
+    # would never read as done and the slice loop would always run to pair
+    # exhaustion (the fwd kernel masks its in-kernel check identically).
+    t_lin = jax.lax.broadcasted_iota(_I32, (num_tiles, npix), 1)
+    t_idx = jax.lax.broadcasted_iota(_I32, (num_tiles, npix), 0)
+    pxg = (t_idx % ntxg) * ts + t_lin % ts
+    pyg = (t_idx // ntxg) * ts + t_lin // ts
+    inframe = ((pxg < width - 1) & (pyg < height - 1)).astype(_F32)
     state0 = dict(
         k=jnp.int32(0),
         g0=jnp.int32(0),
@@ -275,12 +287,14 @@ def _forward_impl(feat, order, cnt, tx0, ty0, ntx, nty, width, height, cfg):
         countc = jnp.where(done, 0, tile_count)
         accum = forward_tiles_carry(
             pair_feat, tile_start, countc, tile_ids, c["accum"], ntxg, cfg,
-            interpret=cfg.force_pallas_interpret,
+            interpret=cfg.force_pallas_interpret, width=width, height=height,
         )
         bdone = accum[:, 4, 0].astype(_I32)
         new_done = done
         if es > 0.0:
-            new_done = done | (jnp.max(accum[:, 3, :], axis=1) < es)
+            new_done = done | (
+                jnp.max(accum[:, 3, :] * inframe, axis=1) < es
+            )
 
         upd = lambda store, row: jax.lax.dynamic_update_slice(
             store, row[None], (k,) + (0,) * row.ndim

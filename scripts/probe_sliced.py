@@ -43,6 +43,8 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--slices", default="2097152,4194304,8388608")
     ap.add_argument("--skip-standard", action="store_true")
+    ap.add_argument("--diag", action="store_true",
+                    help="run the slice loop once and dump per-slice stats")
     args = ap.parse_args()
 
     model = build_scene(args.n, args.shift)
@@ -66,6 +68,50 @@ def main():
                                 cfg(reduce_pairs=cap // 4), iters=args.iters)
         log(f"standard (single-sort, compact-reduce): {el*1e3:8.1f} ms/frame "
             f"= {1/el:.3f} fps  (loss {loss:.5f})")
+
+    if args.diag:
+        import math
+
+        from gsplat_tpu.ops import binning as B
+        from gsplat_tpu.render.pipeline import preprocess_traced
+        from gsplat_tpu.render.sliced import _forward_impl, _monotone_depth_key
+
+        s = int(args.slices.split(",")[0])
+        c = cfg(slice_pairs=s)
+        prep = jax.jit(
+            lambda m, cm: preprocess_traced(m, cm, WIDTH, HEIGHT, c)
+        )(model, cam)
+        feat = B.pack_features(prep)
+        n = args.n
+        iota = jnp.arange(n, dtype=jnp.int32)
+        order = jax.lax.sort(
+            (_monotone_depth_key(prep.depth), iota), num_keys=1, is_stable=True
+        )[1]
+        ntxg, ntyg = -(-WIDTH // 32), -(-HEIGHT // 32)
+        tx0, ty0, ntx, nty = B.tile_ranges(prep.cull_bbox, 32, ntxg, ntyg)
+        counts = jnp.where(prep.active, ntx * nty, 0).astype(jnp.int32)
+
+        fwd = jax.jit(lambda f, o, cn, a, b_, cc, d: _forward_impl(
+            f, o, cn, a, b_, cc, d, WIDTH, HEIGHT, c)[2])
+        out = fwd(feat, order, counts[order], tx0[order], ty0[order],
+                  ntx[order], nty[order])
+        k = int(out["k"])
+        k_max = math.ceil(c.max_pairs / s)
+        log(f"diag slice_pairs={s}: slices executed {k}/{k_max}, "
+            f"g0 end {int(out['g0'])}/{n}")
+        gb = np.asarray(out["gb"])[: k + 1]
+        dsnap = np.asarray(out["dsnap"])  # done at slice entry
+        countc = np.asarray(out["countc"])
+        bdone = np.asarray(out["bdone"])
+        T = dsnap.shape[1]
+        final_done = int(np.asarray(out["done"]).sum())
+        for i in range(k):
+            log(f"  slice {i}: gaussians [{gb[i]},{gb[i+1]}) "
+                f"emitted_pairs={int(countc[i].sum())} "
+                f"done_tiles_at_entry={int(dsnap[i].sum())}/{T} "
+                f"blocks_composited={int(bdone[i].sum())}")
+        log(f"  final done tiles: {final_done}/{T}")
+        return
 
     for s in [int(x) for x in args.slices.split(",") if x]:
         try:
