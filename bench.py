@@ -85,6 +85,11 @@ PAIR_SWEEP_SHIFTS = [0.0, 0.8, 1.4, 2.0]
 # gaussian Inria checkpoint on such a scene, /root/reference/README.md:5).
 REAL_DENSITY_N = 5_000_000
 REAL_DENSITY_SHIFT = 1.9
+# Depth-sliced production config at the real-density point
+# (scripts/probe_sliced.py sweep): per-slice pair capacity and the
+# cross-slice compact gradient-reduction capacity (render/sliced.py).
+REAL_DENSITY_SLICE = 1 << 20
+REAL_DENSITY_REDUCE = 1 << 20
 
 # Secondary resolution point reported in ``extra`` (README §Performance).
 RES_4K = (3840, 2160)
@@ -208,12 +213,12 @@ def synthetic_bench(args):
     from gsplat_tpu import RasterConfig
     from gsplat_tpu.ops.camera import CameraArrays
 
-    def make_cfg(max_pairs, early_stop, reduce_pairs=0):
+    def make_cfg(max_pairs, early_stop, reduce_pairs=0, slice_pairs=0):
         return RasterConfig(
             tile_size=32, chunk_size=32, max_pairs=max_pairs,
             early_stop_transmittance=early_stop, strict_parity=True,
             use_pallas=jax.default_backend() == "tpu",
-            reduce_pairs=reduce_pairs,
+            reduce_pairs=reduce_pairs, slice_pairs=slice_pairs,
         )
 
     camera = bench_camera()
@@ -271,19 +276,31 @@ def synthetic_bench(args):
         m = build_scene(REAL_DENSITY_N, REAL_DENSITY_SHIFT)
         try:
             cap, dem = sized_capacity(m, cam, headroom=1.1)
-            # Early-stop mode composites only a few percent of the blocks at
-            # this density; the compacted reduction runs at that scale.
-            c = make_cfg(cap, 1e-4, reduce_pairs=cap // 4)
+            # Production config at this density: depth-sliced lazy binning
+            # (render/sliced.py) + early stop — P-scale sort work tracks
+            # composited pairs, not total demand.
+            c = make_cfg(cap, 1e-4, slice_pairs=REAL_DENSITY_SLICE,
+                         reduce_pairs=REAL_DENSITY_REDUCE)
             el, _ = time_fwd_bwd(m, cam, target, c, iters=ITERS[2])
             extra["real_density"] = {
                 "num_gaussians": REAL_DENSITY_N,
                 "pair_demand": dem,
                 "pairs_per_gaussian": round(dem / REAL_DENSITY_N, 2),
                 "max_pairs": cap,
+                "slice_pairs": REAL_DENSITY_SLICE,
                 "fps": round(1.0 / el, 3),
                 "sec_per_frame": round(el, 4),
             }
             emit(result)
+            if fits("real_density.single_sort", 150.0):
+                # The round-3 production config (single sort + compacted
+                # reduction), for comparison.
+                el_ss, _ = time_fwd_bwd(
+                    m, cam, target, make_cfg(cap, 1e-4, reduce_pairs=cap // 4),
+                    iters=ITERS[2],
+                )
+                extra["real_density"]["single_sort_fps"] = round(1.0 / el_ss, 3)
+                emit(result)
             if fits("real_density.exact_mode", 120.0):
                 el_exact, _ = time_fwd_bwd(
                     m, cam, target, make_cfg(cap, 0.0), iters=ITERS[2]

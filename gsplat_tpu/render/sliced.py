@@ -371,8 +371,7 @@ def _bwd(width, height, cfg, residuals, cotangents):
         [feat[:-1][order].astype(_F32), jnp.zeros((1, feat.shape[1]), _F32)]
     )  # depth-sorted rows + sentinel zero row at index n
 
-    def slice_bwd(k, st):
-        carry, d_sorted = st
+    def run_bwd_kernel(k, carry):
         ids_k = ids[k]
         # build_pair_feat's chunked path rounds its block count up to a
         # gather-segment multiple; trim to the slice's own block count so
@@ -383,6 +382,14 @@ def _bwd(width, height, cfg, residuals, cotangents):
             g_out, basis, carry, ntxg, cfg,
             interpret=cfg.force_pallas_interpret,
         )
+        return ids_k, pair_grads, carry
+
+    def slice_bwd(k, st):
+        """Per-slice reduction: sort this slice's pair grads by gaussian and
+        difference a cumsum at the slice's recomputed segment ends. Exact
+        for any composited-pair volume, but pays an O(N) gather per slice."""
+        carry, d_sorted = st
+        ids_k, pair_grads, carry = run_bwd_kernel(k, carry)
         # Rows the kernel wrote: each not-done tile's first bdone blocks
         # (raster_bwd.py written_mask).
         delta = jnp.zeros((s_store + 1,), _I32)
@@ -409,7 +416,77 @@ def _bwd(width, height, cfg, residuals, cotangents):
         return carry, d_sorted + (gathered - prev)
 
     d0 = jnp.zeros((n, 9), _F32)
-    _, d_sorted = jax.lax.fori_loop(0, k_exec, slice_bwd, (carry, d0))
+    r_blk = cfg.reduce_pairs // align
+    if r_blk <= 0:
+        _, d_sorted = jax.lax.fori_loop(0, k_exec, slice_bwd, (carry, d0))
+    else:
+        # Cross-slice COMPACT reduction: with early termination the kernel
+        # writes only each tile's first bdone blocks (at real density ~1%
+        # of the pair budget). Append just those blocks — with their pair
+        # ids — to one [r_blk * align]-pair buffer as the slices replay,
+        # then run ONE sort+cumsum reduction at that scale: the per-slice
+        # O(N) segment gathers and O(s_store) sorts collapse into a single
+        # small pass. Exact: if the composited blocks overflow r_blk, a
+        # lax.cond replays the loop with the per-slice exact reduction.
+        r_cap = r_blk * align
+        t_iota = jnp.arange(num_tiles, dtype=_I32)
+        slot_b = jnp.arange(r_blk, dtype=_I32)
+
+        def slice_compact(k, st):
+            carry, cg, cid, used, overflow = st
+            ids_k, pair_grads, carry = run_bwd_kernel(k, carry)
+            done_k = bdone[k]
+            off_t = used + jnp.cumsum(done_k) - done_k  # [T]
+            tot_k = jnp.sum(done_k)
+            mark = jnp.zeros((r_blk,), _I32).at[
+                jnp.where(done_k > 0, off_t, r_blk)
+            ].max(t_iota, mode="drop")
+            tile_of = jax.lax.cummax(mark)
+            src_blk = starts[k][tile_of] // align + (slot_b - off_t[tile_of])
+            in_range = (slot_b >= used) & (slot_b < used + tot_k)
+            src_blk = jnp.where(in_range, jnp.clip(src_blk, 0, nblk_s - 1), 0)
+            cg = jnp.where(
+                in_range[:, None, None], pair_grads[src_blk], cg
+            )
+            cid = jnp.where(
+                in_range[:, None], ids_k.reshape(nblk_s, align)[src_blk], cid
+            )
+            overflow = overflow | (used + tot_k > r_blk)
+            used = jnp.minimum(used + tot_k, jnp.int32(r_blk))
+            return carry, cg, cid, used, overflow
+
+        cg0 = jnp.zeros((r_blk, 16, align), _F32)
+        cid0 = jnp.full((r_blk, align), n, _I32)
+        _, cg, cid, used, overflow = jax.lax.fori_loop(
+            0, k_exec, slice_compact,
+            (carry, cg0, cid0, jnp.int32(0), jnp.zeros((), bool)),
+        )
+
+        def compact_reduce():
+            ids_c = jnp.where(
+                (slot_b < used)[:, None], cid, n
+            ).reshape(-1)
+            cols = [cg[:, j, :].reshape(-1) for j in range(9)]
+            sorted_c = jax.lax.sort((ids_c, *cols), num_keys=1, is_stable=False)
+            cum9 = jnp.stack([jnp.cumsum(c) for c in sorted_c[1:]], axis=1)
+            lastpos = jnp.full((n + 1,), -1, _I32).at[sorted_c[0]].max(
+                jnp.arange(r_cap, dtype=_I32), mode="drop"
+            )
+            prev_end = jnp.concatenate(
+                [jnp.full((1,), -1, _I32), jax.lax.cummax(lastpos)[:-1]]
+            )
+            have = (lastpos >= 0)[:n]
+            g_at = cum9[jnp.maximum(lastpos, 0)[:n]]
+            g_prev = jnp.where(
+                (prev_end >= 0)[:n, None], cum9[jnp.maximum(prev_end, 0)[:n]], 0.0
+            )
+            return jnp.where(have[:, None], g_at - g_prev, 0.0)  # [n, 9]
+
+        def exact_replay():
+            _, d = jax.lax.fori_loop(0, k_exec, slice_bwd, (carry, d0))
+            return d
+
+        d_sorted = jax.lax.cond(overflow, exact_replay, compact_reduce)
     # Unpermute from depth-sorted to original gaussian ids (the sentinel
     # row n stays zero).
     d9 = jnp.zeros((n + 1, 9), _F32).at[order].set(d_sorted)

@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--skip-standard", action="store_true")
     ap.add_argument("--diag", action="store_true",
                     help="run the slice loop once and dump per-slice stats")
+    ap.add_argument("--stages", action="store_true",
+                    help="time forward-only vs fwd+bwd for each slice size")
+    ap.add_argument("--reduce", type=int, default=0,
+                    help="cross-slice compact reduction capacity (pairs)")
     args = ap.parse_args()
 
     model = build_scene(args.n, args.shift)
@@ -115,8 +119,19 @@ def main():
 
     for s in [int(x) for x in args.slices.split(",") if x]:
         try:
-            el, loss = time_fwd_bwd(model, cam, target, cfg(slice_pairs=s),
-                                    iters=args.iters)
+            if args.stages:
+                from gsplat_tpu.render.pipeline import render_traced
+                from timing import timed
+
+                c = cfg(slice_pairs=s, reduce_pairs=args.reduce)
+                fwd_only = jax.jit(
+                    lambda m, cm: render_traced(m, cm, WIDTH, HEIGHT, c)[0]
+                )
+                t_f, _ = timed(fwd_only, model, cam, iters=args.iters)
+                log(f"sliced slice_pairs={s:>9} fwd-only: {t_f*1e3:8.1f} ms")
+            el, loss = time_fwd_bwd(
+                model, cam, target,
+                cfg(slice_pairs=s, reduce_pairs=args.reduce), iters=args.iters)
             log(f"sliced slice_pairs={s:>9}: {el*1e3:8.1f} ms/frame "
                 f"= {1/el:.3f} fps  (loss {loss:.5f})")
         except Exception as exc:

@@ -205,3 +205,31 @@ def test_sliced_bwd_chunked_gather_path():
         a = np.asarray(getattr(g_ref, name))
         b = np.asarray(getattr(g_chunked, name))
         np.testing.assert_allclose(b, a, rtol=0, atol=np.abs(a).max() * 1e-6)
+
+
+def test_sliced_compact_cross_slice_reduction():
+    """reduce_pairs > 0 with slice_pairs: the cross-slice compact gradient
+    reduction matches the per-slice exact reduction, and an undersized
+    capacity falls back to the exact replay (bitwise: it IS the per-slice
+    path)."""
+    model, rng = _model(n=300)
+    cam = CameraArrays.from_params(make_camera())
+    w_img = jnp.asarray(rng.normal(size=(48, 64, 3)).astype(np.float32))
+
+    def loss(m, cfg):
+        img, _ = render_traced(m, cam, 64, 48, cfg)
+        return jnp.sum(img * w_img)
+
+    es = dataclasses.replace(BASE, early_stop_transmittance=1e-4)
+    cfg_slice = dataclasses.replace(es, slice_pairs=1 << 10)
+    cfg_comp = dataclasses.replace(cfg_slice, reduce_pairs=1 << 12)
+    cfg_ovf = dataclasses.replace(cfg_slice, reduce_pairs=64)
+    g_ref = jax.grad(lambda m: loss(m, cfg_slice))(model)
+    g_c = jax.grad(lambda m: loss(m, cfg_comp))(model)
+    g_o = jax.grad(lambda m: loss(m, cfg_ovf))(model)
+    for name in ["means", "log_scales", "quats", "opacity_logits", "sh"]:
+        a = np.asarray(getattr(g_ref, name))
+        c = np.asarray(getattr(g_c, name))
+        o = np.asarray(getattr(g_o, name))
+        assert np.abs(a - c).max() / max(np.abs(a).max(), 1e-8) < 5e-5, name
+        np.testing.assert_array_equal(o, a, err_msg=name)
