@@ -49,6 +49,10 @@ def main():
                     help="time forward-only vs fwd+bwd for each slice size")
     ap.add_argument("--reduce", type=int, default=0,
                     help="cross-slice compact reduction capacity (pairs)")
+    ap.add_argument("--bwd-stages", action="store_true",
+                    help="time the sliced backward's stages one by one")
+    ap.add_argument("--decompose", action="store_true",
+                    help="isolate non-rasterizer costs of the fwd+bwd step")
     args = ap.parse_args()
 
     model = build_scene(args.n, args.shift)
@@ -117,6 +121,51 @@ def main():
         log(f"  final done tiles: {final_done}/{T}")
         return
 
+    if args.bwd_stages:
+        _bwd_stage_probe(args, model, cam, cfg)
+        return
+
+    if args.decompose:
+        from timing import timed
+
+        from gsplat_tpu.ops import binning as B
+        from gsplat_tpu.render.pipeline import preprocess_traced, render_traced
+        from gsplat_tpu.train.loss import rgb_loss
+
+        s0 = int(args.slices.split(",")[0])
+        c = cfg(slice_pairs=s0, reduce_pairs=args.reduce)
+
+        # (a) full production step (reference point)
+        el, _ = time_fwd_bwd(model, cam, target, c, iters=args.iters)
+        log(f"full fwd+bwd (L1+SSIM)      {el*1e3:8.1f} ms")
+
+        # (b) same but plain sum loss — isolates the loss's cost
+        @jax.jit
+        def fb_sum(m, cm):
+            def loss_fn(mm):
+                img, _ = render_traced(mm, cm, WIDTH, HEIGHT, c)
+                return jnp.sum(img * 0.1)
+            return jax.value_and_grad(loss_fn)(m)
+        t_b, _ = timed(fb_sum, model, cam, iters=args.iters)
+        log(f"fwd+bwd, sum loss           {t_b*1e3:8.1f} ms")
+
+        # (c) preprocess+pack fwd+bwd alone — the N-scale autodiff chain
+        @jax.jit
+        def pp(m, cm):
+            def loss_fn(mm):
+                prep = preprocess_traced(mm, cm, WIDTH, HEIGHT, c)
+                return jnp.sum(B.pack_features(prep) * 0.1)
+            return jax.value_and_grad(loss_fn)(m)
+        t_c, _ = timed(pp, model, cam, iters=args.iters)
+        log(f"preprocess+pack fwd+bwd     {t_c*1e3:8.1f} ms")
+
+        # (d) render fwd only (context)
+        fwd_only = jax.jit(
+            lambda m, cm: render_traced(m, cm, WIDTH, HEIGHT, c)[0])
+        t_d, _ = timed(fwd_only, model, cam, iters=args.iters)
+        log(f"render fwd only             {t_d*1e3:8.1f} ms")
+        return
+
     for s in [int(x) for x in args.slices.split(",") if x]:
         try:
             if args.stages:
@@ -136,6 +185,101 @@ def main():
                 f"= {1/el:.3f} fps  (loss {loss:.5f})")
         except Exception as exc:
             log(f"sliced slice_pairs={s}: FAILED {type(exc).__name__}: {exc}")
+
+
+def _bwd_stage_probe(args, model, cam, cfg):
+    """Time the sliced backward's stages on slice 0's real data."""
+    from timing import timed
+
+    from gsplat_tpu.kernels.raster_bwd import (
+        backward_tiles_carry, pack_tile_rows, reduction_basis,
+    )
+    from gsplat_tpu.kernels.raster_fwd import build_pair_feat
+    from gsplat_tpu.ops import binning as B
+    from gsplat_tpu.render.pipeline import preprocess_traced
+    from gsplat_tpu.render.sliced import (
+        _forward_impl, _grid, _monotone_depth_key, _sizes,
+    )
+
+    s = int(args.slices.split(",")[0])
+    c = cfg(slice_pairs=s)
+    it = args.iters
+    ts = 32
+    ntxg, ntyg, num_tiles = _grid(WIDTH, HEIGHT, ts)
+    align, s_cap, k_max, padcap, p_buf, nblk_s, s_store = _sizes(c, num_tiles)
+
+    prep = jax.jit(lambda m, cm: preprocess_traced(m, cm, WIDTH, HEIGHT, c))(
+        model, cam
+    )
+    feat = B.pack_features(prep)
+    n = args.n
+    iota = jnp.arange(n, dtype=jnp.int32)
+    order = jax.lax.sort(
+        (_monotone_depth_key(prep.depth), iota), num_keys=1, is_stable=True
+    )[1]
+    tx0, ty0, ntx, nty = B.tile_ranges(prep.cull_bbox, ts, ntxg, ntyg)
+    counts = jnp.where(prep.active, ntx * nty, 0).astype(jnp.int32)
+
+    fwd = jax.jit(lambda f, o, cn, a, b_, cc, d: _forward_impl(
+        f, o, cn, a, b_, cc, d, WIDTH, HEIGHT, c))
+    t_fwd, (color, trans, out) = timed(
+        fwd, feat, order, counts[order], tx0[order], ty0[order],
+        ntx[order], nty[order], iters=it,
+    )
+    log(f"fwd loop total        {t_fwd*1e3:8.1f} ms  (k={int(out['k'])})")
+
+    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    g_color = jnp.ones_like(color) * 0.1
+    g_trans = jnp.zeros_like(trans)
+    g_out = pack_tile_rows(g_color, g_trans)
+    basis = reduction_basis(g_color, ts)
+    fwd_out = pack_tile_rows(color, trans)
+    row0 = jnp.sum(g_out[:, 0:4, :] * fwd_out[:, 0:4, :], axis=1)
+    carry = jnp.stack([row0, jnp.ones_like(row0)], axis=1)
+    feat_s = jnp.concatenate(
+        [feat[:-1][order].astype(jnp.float32),
+         jnp.zeros((1, feat.shape[1]), jnp.float32)]
+    )
+    ids0 = out["ids"][0]
+
+    gather_fn = jax.jit(lambda f, i: build_pair_feat(f, i, align)[:nblk_s])
+    t_g, pair_feat = timed(gather_fn, feat_s, ids0, iters=it)
+    log(f"slice regather        {t_g*1e3:8.1f} ms")
+
+    kern = jax.jit(lambda pf, st, tc, bd, go, ba, ca: backward_tiles_carry(
+        pf, st, tc, tile_ids, bd, go, ba, ca, ntxg, c))
+    t_k, (pair_grads, _) = timed(
+        kern, pair_feat, out["starts"][0], out["countc"][0], out["bdone"][0],
+        g_out, basis, carry, iters=it,
+    )
+    log(f"bwd kernel (slice 0)  {t_k*1e3:8.1f} ms")
+
+    def reduction(pg, idk, st0, bd0):
+        delta = jnp.zeros((s_store + 1,), jnp.int32)
+        delta = delta.at[st0].add(1, mode="drop")
+        delta = delta.at[st0 + bd0 * align].add(-1, mode="drop")
+        written = jnp.cumsum(delta[:-1]) > 0
+        cols = [jnp.where(written, pg[:, j, :].reshape(-1), 0.0)
+                for j in range(9)]
+        sorted_c = jax.lax.sort((idk, *cols), num_keys=1, is_stable=False)
+        cum9 = jnp.stack([jnp.cumsum(cc) for cc in sorted_c[1:]], axis=1)
+        ends = jnp.cumsum(counts)  # stand-in [N] cumsum + gather
+        at = jnp.maximum(ends - 1, 0)
+        return jnp.where((ends > 0)[:, None], cum9[at % cum9.shape[0]], 0.0)
+
+    t_r, _ = timed(jax.jit(reduction), pair_grads, ids0, out["starts"][0],
+                   out["bdone"][0], iters=it)
+    log(f"per-slice reduction   {t_r*1e3:8.1f} ms")
+
+    def alive_cost(d0):
+        from gsplat_tpu.render.sliced import _alive_mask, _slice_counts
+        alive = _alive_mask(d0, out["gb"][0], iota, tx0[order], ty0[order],
+                            ntx[order], nty[order], ntxg, ntyg, 1e-4)
+        cnt_k, _ = _slice_counts(alive, out["gb"][1], counts[order], iota)
+        return jnp.cumsum(cnt_k)[-1]
+
+    t_a, _ = timed(jax.jit(alive_cost), out["dsnap"][0], iters=it)
+    log(f"alive+cumsum (N)      {t_a*1e3:8.1f} ms")
 
 
 if __name__ == "__main__":
