@@ -213,7 +213,8 @@ def _bin_slice(table, cnt_k, in_slice, cum, pairs_k, tx0, ty0, ntx, nty,
 
 
 def _forward_impl(feat, order, cnt, tx0, ty0, ntx, nty, width, height, cfg):
-    """Run the slice loop. Returns (color, trans, residual dict)."""
+    """Run the slice loop. Returns (color, trans, residual dict incl. the
+    depth-sorted feature/rect table for the backward's regather)."""
     from gsplat_tpu.kernels.raster_fwd import forward_tiles_carry
 
     ts = cfg.tile_size
@@ -313,25 +314,27 @@ def _forward_impl(feat, order, cnt, tx0, ty0, ntx, nty, width, height, cfg):
         )
 
     out = jax.lax.while_loop(cond, body, state0)
+    out["table"] = table  # the bwd regathers features from this
     color = jnp.moveaxis(out["accum"][:, 0:3, :], 1, 2)  # [T, npix, 3]
     trans = out["accum"][:, 3, :]
     return color.astype(feat.dtype), trans.astype(feat.dtype), out
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
-def _rasterize_sliced(feat, order, cnt, tx0, ty0, ntx, nty, width, height, cfg):
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def _rasterize_sliced(feat, order, inv_order, cnt, tx0, ty0, ntx, nty,
+                      width, height, cfg):
     color, trans, _ = _forward_impl(
         feat, order, cnt, tx0, ty0, ntx, nty, width, height, cfg
     )
     return color, trans
 
 
-def _fwd(feat, order, cnt, tx0, ty0, ntx, nty, width, height, cfg):
+def _fwd(feat, order, inv_order, cnt, tx0, ty0, ntx, nty, width, height, cfg):
     color, trans, out = _forward_impl(
         feat, order, cnt, tx0, ty0, ntx, nty, width, height, cfg
     )
     residuals = (
-        feat, order, cnt, tx0, ty0, ntx, nty, color, trans,
+        feat, inv_order, cnt, tx0, ty0, ntx, nty, color, trans, out["table"],
         out["k"], out["ids"], out["starts"], out["countc"], out["bdone"],
         out["dsnap"], out["gb"],
     )
@@ -347,7 +350,7 @@ def _bwd(width, height, cfg, residuals, cotangents):
     from gsplat_tpu.kernels.raster_fwd import build_pair_feat
 
     (
-        feat, order, cnt, tx0, ty0, ntx, nty, color, trans,
+        feat, inv_order, cnt, tx0, ty0, ntx, nty, color, trans, table,
         k_exec, ids, starts, countc, bdone, dsnap, gb,
     ) = residuals
     g_color, g_trans = cotangents
@@ -367,9 +370,21 @@ def _bwd(width, height, cfg, residuals, cotangents):
     row0 = jnp.sum(g_out[:, 0:4, :] * fwd_out[:, 0:4, :], axis=1)  # [T, npix]
     carry = jnp.stack([row0, jnp.ones_like(row0)], axis=1)  # [T, 2, npix]
 
+    # Depth-sorted feature rows, rebuilt from the table residual (columns
+    # 3-15 are the 13 live feature columns bitcast; 13-15 of a feat row are
+    # lane padding) — avoids re-gathering [N, 16] rows from feat.
     feat_s = jnp.concatenate(
-        [feat[:-1][order].astype(_F32), jnp.zeros((1, feat.shape[1]), _F32)]
-    )  # depth-sorted rows + sentinel zero row at index n
+        [
+            jnp.concatenate(
+                [
+                    jax.lax.bitcast_convert_type(table[:, 3:16], _F32),
+                    jnp.zeros((n, 3), _F32),
+                ],
+                axis=1,
+            ),
+            jnp.zeros((1, feat.shape[1]), _F32),
+        ]
+    )  # + sentinel zero row at index n
 
     def run_bwd_kernel(k, carry):
         ids_k = ids[k]
@@ -487,16 +502,18 @@ def _bwd(width, height, cfg, residuals, cotangents):
             return d
 
         d_sorted = jax.lax.cond(overflow, exact_replay, compact_reduce)
-    # Unpermute from depth-sorted to original gaussian ids (the sentinel
-    # row n stays zero).
-    d9 = jnp.zeros((n + 1, 9), _F32).at[order].set(d_sorted)
+    # Unpermute from depth-sorted to original gaussian ids with a row
+    # GATHER by the precomputed inverse permutation — an O(N)-row scatter
+    # here measured ~0.4 s at 5M gaussians (scatters pay per row; gathers
+    # are several times cheaper). The sentinel row n stays zero.
+    d9 = jnp.concatenate([d_sorted[inv_order], jnp.zeros((1, 9), _F32)])
     d_feat = jnp.pad(d9, ((0, 0), (0, feat.shape[1] - 9))).astype(feat.dtype)
 
     def int_zero(x):
         return np.zeros(x.shape, dtype=jax.dtypes.float0)
 
-    return (d_feat, int_zero(order), int_zero(cnt), int_zero(tx0),
-            int_zero(ty0), int_zero(ntx), int_zero(nty))
+    return (d_feat, int_zero(inv_order), int_zero(inv_order), int_zero(cnt),
+            int_zero(tx0), int_zero(ty0), int_zero(ntx), int_zero(nty))
 
 
 _rasterize_sliced.defvjp(_fwd, _bwd)
@@ -525,9 +542,12 @@ def render_sliced_tiles(
     # Stable 1-key sort: ties keep id order -> (depth, id) lexicographic,
     # the reference's stable argsort semantics.
     order = jax.lax.sort((dkey, iota_n), num_keys=1, is_stable=True)[1]
+    # Inverse permutation via a second cheap sort (the backward unpermutes
+    # its gradient with a gather by this — a scatter would pay ~10x).
+    inv_order = jax.lax.sort((order, iota_n), num_keys=1)[1]
     tx0, ty0, ntx, nty = B.tile_ranges(prep.cull_bbox, ts, ntxg, ntyg)
     counts = jnp.where(prep.active, ntx * nty, 0).astype(_I32)
     return _rasterize_sliced(
-        feat, order, counts[order], tx0[order], ty0[order], ntx[order],
-        nty[order], width, height, cfg,
+        feat, order, inv_order, counts[order], tx0[order], ty0[order],
+        ntx[order], nty[order], width, height, cfg,
     )
