@@ -51,13 +51,19 @@ def _load_scene(input_dir: str, trained_model_path: str, scene_index: int, scale
     return model, camera, gt, gt_img_path
 
 
-def _raster_config(tile_size, chunk_size, max_pairs, early_stop, backend) -> RasterConfig:
+def _raster_config(tile_size, chunk_size, max_pairs, early_stop, backend,
+                   slice_pairs=0) -> RasterConfig:
+    # The depth-sliced path needs early stop to pay off and a compact
+    # reduction capacity for its backward; reuse the slice size for the
+    # latter (render/sliced.py falls back exactly on overflow).
     return RasterConfig(
         tile_size=tile_size,
         chunk_size=chunk_size,
         max_pairs=max_pairs,
         early_stop_transmittance=early_stop,
         use_pallas=(backend == "pallas"),
+        slice_pairs=slice_pairs,
+        reduce_pairs=slice_pairs if slice_pairs > 0 else 0,
     )
 
 
@@ -72,6 +78,11 @@ _COMMON = [
     click.option("--early-stop", type=float, default=0.0,
                  help="transmittance below which a tile stops compositing (0 = exact reference semantics)"),
     click.option("--backend", type=click.Choice(["pallas", "jnp"]), default="pallas"),
+    click.option("--slice-pairs", type=int, default=0,
+                 help="depth-sliced lazy binning: per-slice pair capacity "
+                      "(0 = single-sort pipeline). At real MipNeRF-360 "
+                      "density, --slice-pairs 1048576 --early-stop 1e-4 is "
+                      "~3x faster (render/sliced.py; Pallas backend only)"),
     click.option("--auto-pairs/--no-auto-pairs", default=True,
                  help="check the measured pair demand and grow max_pairs "
                       "(next power of two) instead of silently dropping the "
@@ -185,7 +196,8 @@ def cli():
                    "data axis must be 1). Empty = one chip")
 def render(
     input_dir, trained_model_path, scene_index, scale_factor,
-    tile_size, chunk_size, max_pairs, early_stop, backend, auto_pairs,
+    tile_size, chunk_size, max_pairs, early_stop, backend, slice_pairs,
+    auto_pairs,
     output_path, generate_video, show, mesh,
 ):
     """Render one scene view next to its ground-truth photo."""
@@ -206,7 +218,8 @@ def render(
             f"(got {mesh_dims[0]}x{mesh_dims[1]}; use orbit/evaluate for "
             "data-parallel batches)"
         )
-    cfg = _raster_config(tile_size, chunk_size, max_pairs, early_stop, backend)
+    cfg = _raster_config(tile_size, chunk_size, max_pairs, early_stop, backend,
+                         slice_pairs)
     model, camera, gt, gt_img_path = _load_scene(
         input_dir, trained_model_path, scene_index, scale_factor
     )
@@ -262,7 +275,8 @@ def render(
                    "axis (make_batch_render). Empty = one chip")
 def orbit(
     input_dir, trained_model_path, scene_index, scale_factor,
-    tile_size, chunk_size, max_pairs, early_stop, backend, auto_pairs,
+    tile_size, chunk_size, max_pairs, early_stop, backend, slice_pairs,
+    auto_pairs,
     output_path, num_frames, orbit_degrees, mesh,
 ):
     """Render a camera orbit around the scene view as a video
@@ -273,7 +287,8 @@ def orbit(
     from gsplat_tpu.render.pipeline import render_batch
     from gsplat_tpu.utils import video as videolib
 
-    cfg = _raster_config(tile_size, chunk_size, max_pairs, early_stop, backend)
+    cfg = _raster_config(tile_size, chunk_size, max_pairs, early_stop, backend,
+                         slice_pairs)
     mesh_dims = _parse_mesh(mesh) if mesh else None  # fail before scene I/O
     model, camera, _, _ = _load_scene(input_dir, trained_model_path, scene_index, scale_factor)
 
@@ -358,7 +373,8 @@ def orbit(
                    "held-out split of train/finetune --test-every. 0 = all")
 def evaluate(
     input_dir, trained_model_path, scene_index, scale_factor,
-    tile_size, chunk_size, max_pairs, early_stop, backend, auto_pairs,
+    tile_size, chunk_size, max_pairs, early_stop, backend, slice_pairs,
+    auto_pairs,
     output_path, mesh, test_every,
 ):
     """Render every ground-truth view and report PSNR/SSIM per view + mean
@@ -375,7 +391,8 @@ def evaluate(
     from gsplat_tpu.train.loss import psnr, ssim
     from gsplat_tpu.utils.progress import progress
 
-    cfg = _raster_config(tile_size, chunk_size, max_pairs, early_stop, backend)
+    cfg = _raster_config(tile_size, chunk_size, max_pairs, early_stop, backend,
+                         slice_pairs)
     mesh_dims = _parse_mesh(mesh) if mesh else None  # fail before scene I/O
     model, _, _, _ = _load_scene(input_dir, trained_model_path, scene_index, scale_factor)
     scenes, cam_info = read_scene(input_dir)
@@ -511,7 +528,8 @@ def evaluate(
                    "(same view rotation and RNG path as the killed run)")
 def finetune(
     input_dir, trained_model_path, scene_index, scale_factor,
-    tile_size, chunk_size, max_pairs, early_stop, backend, auto_pairs,
+    tile_size, chunk_size, max_pairs, early_stop, backend, slice_pairs,
+    auto_pairs,
     output_path, steps, ssim_weight, save_iteration,
     densify, densify_every, densify_grad_threshold, sh_warmup_every, mesh,
     background, lr_decay_steps, lr_means_final, lr_scale_extent, test_every,
@@ -519,7 +537,8 @@ def finetune(
 ):
     """Fine-tune the splat model against the scene's ground-truth views
     (BASELINE.json config 4: the full-VJP workload)."""
-    cfg = _raster_config(tile_size, chunk_size, max_pairs, early_stop, backend)
+    cfg = _raster_config(tile_size, chunk_size, max_pairs, early_stop, backend,
+                         slice_pairs)
     model, _, _, _ = _load_scene(input_dir, trained_model_path, scene_index, scale_factor)
     views = _load_views(input_dir, scale_factor)
     logger.info("fine-tuning on %d views for %d steps", len(views), steps)
@@ -579,7 +598,8 @@ def finetune(
                    "(same view rotation and RNG path as the killed run)")
 def train(
     input_dir, trained_model_path, scene_index, scale_factor,
-    tile_size, chunk_size, max_pairs, early_stop, backend, auto_pairs,
+    tile_size, chunk_size, max_pairs, early_stop, backend, slice_pairs,
+    auto_pairs,
     output_path, steps, ssim_weight, save_iteration,
     densify, densify_every, densify_grad_threshold, sh_warmup_every,
     initial_opacity, mesh, background, lr_decay_steps, lr_means_final,
@@ -596,7 +616,8 @@ def train(
     from gsplat_tpu.io.scene import read_points3d
     from gsplat_tpu.models.gaussians import GaussianModel
 
-    cfg = _raster_config(tile_size, chunk_size, max_pairs, early_stop, backend)
+    cfg = _raster_config(tile_size, chunk_size, max_pairs, early_stop, backend,
+                         slice_pairs)
     if trained_model_path:
         from gsplat_tpu.io.ply import load_splat_arrays
         from gsplat_tpu.io.scene import checkpoint_ply_path
