@@ -86,9 +86,11 @@ PAIR_SWEEP_SHIFTS = [0.0, 0.8, 1.4, 2.0]
 REAL_DENSITY_N = 5_000_000
 REAL_DENSITY_SHIFT = 1.9
 # Depth-sliced production config at the real-density point
-# (scripts/probe_sliced.py sweep): per-slice pair capacity and the
-# cross-slice compact gradient-reduction capacity (render/sliced.py).
-REAL_DENSITY_SLICE = 1 << 20
+# (scripts/probe_sliced.py sweep, measured on the v5e 2026-08-19):
+# slice 512K + reduce 1M -> 1.617 fps; slice 1M -> 1.533; slice 2M ->
+# 1.283; reduce 4M is SLOWER (1.111 at slice 512K: the per-slice compact
+# append pays O(r_blk) regardless of occupancy, render/sliced.py).
+REAL_DENSITY_SLICE = 1 << 19
 REAL_DENSITY_REDUCE = 1 << 20
 
 # Secondary resolution point reported in ``extra`` (README §Performance).
