@@ -6,8 +6,9 @@ incrementally: the headline line is flushed the moment it is measured, and
 each completed extra stage re-emits the enriched line — so the LAST line on
 stdout is always the most complete valid artifact, on every exit path
 (finish, budget-skip, external timeout kill). The whole default run keeps
-itself inside GSPLAT_BENCH_BUDGET_S wall-clock seconds (default 480,
-compiles included), skipping extras that don't fit.
+itself inside GSPLAT_BENCH_BUDGET_S wall-clock seconds (default 780,
+compiles included), skipping extras that don't fit; the real-density
+point runs FIRST among the extras (it is the round's key claim).
 
 Baseline (BASELINE.md): the torch reference renders one image in ~5 minutes
 *forward-only* (README.md:5). We report full forward+backward (render +
@@ -53,7 +54,7 @@ BASELINE_FPS = 1.0 / 300.0  # reference: ~5 min per forward-only frame
 # extra stage re-emits an enriched line, and stages that don't fit the
 # remaining budget are skipped (recorded in extra.budget.skipped) so the
 # process exits 0 well inside the driver's window.
-BENCH_BUDGET_S = float(os.environ.get("GSPLAT_BENCH_BUDGET_S", "480"))
+BENCH_BUDGET_S = float(os.environ.get("GSPLAT_BENCH_BUDGET_S", "780"))
 _BENCH_T0 = [time.monotonic()]  # reset at synthetic_bench() entry, so
 # in-process callers (tests import bench long before they run it) get a
 # fresh budget per run; the device watchdog's probe time is excluded.
@@ -233,12 +234,15 @@ def synthetic_bench(args):
     # compositing it skips, so exact mode is both stricter and faster;
     # the early-stop variant is reported in extra.
     model = build_scene(NUM_GAUSSIANS)
-    max_pairs, _ = sized_capacity(model, cam)
+    max_pairs, num_pairs = sized_capacity(model, cam)
+    # Capacity is sized at 1.5x the measured demand, so the step cannot
+    # overflow and num_pairs == demand — re-probing with the headline cfg
+    # (pair_stats) would only repeat the same binning compile on the
+    # tunnel (~1 min of the driver's budget).
+    assert num_pairs <= max_pairs, (num_pairs, max_pairs)
     cfg = make_cfg(max_pairs, 0.0)
     elapsed, final_loss = time_fwd_bwd(model, cam, target, cfg, iters=ITERS[0])
     fps = 1.0 / elapsed
-    num_pairs, demand, overflowed = pair_stats(model, cam, cfg)
-    assert not overflowed, (num_pairs, demand)
 
     extra = {
         "mpixels_per_sec": round(fps * WIDTH * HEIGHT / 1e6, 2),
@@ -274,7 +278,7 @@ def synthetic_bench(args):
     # reference's own workload class and the round's key claim): tighter
     # 1.1x headroom (the scene is fixed and P-scale stages pay linearly for
     # slack), production early-stop mode and exact reference semantics.
-    if fits("real_density", 200.0):
+    if fits("real_density", 360.0):
         m = build_scene(REAL_DENSITY_N, REAL_DENSITY_SHIFT)
         try:
             cap, dem = sized_capacity(m, cam, headroom=1.1)
@@ -294,7 +298,7 @@ def synthetic_bench(args):
                 "sec_per_frame": round(el, 4),
             }
             emit(result)
-            if fits("real_density.single_sort", 150.0):
+            if fits("real_density.single_sort", 170.0):
                 # The round-3 production config (single sort + compacted
                 # reduction), for comparison.
                 el_ss, _ = time_fwd_bwd(

@@ -51,6 +51,8 @@ def main():
                     help="cross-slice compact reduction capacity (pairs)")
     ap.add_argument("--bwd-stages", action="store_true",
                     help="time the sliced backward's stages one by one")
+    ap.add_argument("--fwd-stages", action="store_true",
+                    help="time the sliced forward's N-scale prologue pieces")
     ap.add_argument("--decompose", action="store_true",
                     help="isolate non-rasterizer costs of the fwd+bwd step")
     args = ap.parse_args()
@@ -125,6 +127,10 @@ def main():
         _bwd_stage_probe(args, model, cam, cfg)
         return
 
+    if args.fwd_stages:
+        _fwd_stage_probe(args, model, cam, cfg)
+        return
+
     if args.decompose:
         from timing import timed
 
@@ -185,6 +191,82 @@ def main():
                 f"= {1/el:.3f} fps  (loss {loss:.5f})")
         except Exception as exc:
             log(f"sliced slice_pairs={s}: FAILED {type(exc).__name__}: {exc}")
+
+
+def _fwd_stage_probe(args, model, cam, cfg):
+    """Time the sliced forward's fixed N-scale prologue pieces + the loop."""
+    from timing import timed
+
+    from gsplat_tpu.ops import binning as B
+    from gsplat_tpu.render.pipeline import preprocess_traced, render_traced
+    from gsplat_tpu.render.sliced import (
+        _forward_impl, _grid, _monotone_depth_key,
+    )
+
+    s = int(args.slices.split(",")[0])
+    c = cfg(slice_pairs=s, reduce_pairs=args.reduce)
+    it = args.iters
+    n = args.n
+    ntxg, ntyg, _ = _grid(WIDTH, HEIGHT, 32)
+
+    prep_fn = jax.jit(lambda m, cm: preprocess_traced(m, cm, WIDTH, HEIGHT, c))
+    t_prep, prep = timed(prep_fn, model, cam, iters=it)
+    log(f"preprocess (N)            {t_prep*1e3:8.1f} ms")
+
+    t_pack, feat = timed(jax.jit(B.pack_features), prep, iters=it)
+    log(f"pack_features (N)         {t_pack*1e3:8.1f} ms")
+
+    iota = jnp.arange(n, dtype=jnp.int32)
+
+    def depth_sort(d):
+        return jax.lax.sort(
+            (_monotone_depth_key(d), iota), num_keys=1, is_stable=True
+        )[1]
+
+    t_ds, order = timed(jax.jit(depth_sort), prep.depth, iters=it)
+    log(f"depth sort (N, 2-op)      {t_ds*1e3:8.1f} ms")
+
+    t_inv, _ = timed(
+        jax.jit(lambda o: jax.lax.sort((o, iota), num_keys=1)[1]),
+        order, iters=it,
+    )
+    log(f"inverse sort (N, 2-op)    {t_inv*1e3:8.1f} ms")
+
+    t_invs, _ = timed(
+        jax.jit(lambda o: jnp.zeros((n,), jnp.int32).at[o].set(iota)),
+        order, iters=it,
+    )
+    log(f"inverse SCATTER (N)       {t_invs*1e3:8.1f} ms")
+
+    def table_build(f, o):
+        return jnp.concatenate(
+            [iota[:, None] % 8, iota[:, None] % 4, iota[:, None] % 2,
+             jax.lax.bitcast_convert_type(
+                 f[:-1][o][:, : B.NUM_LIVE_FEATURES].astype(jnp.float32),
+                 jnp.int32)],
+            axis=1,
+        )
+    t_tb, _ = timed(jax.jit(table_build), feat, order, iters=it)
+    log(f"table gather+build (N,16) {t_tb*1e3:8.1f} ms")
+
+    def rect_perm(p, o):
+        tx0, ty0, ntx, nty = B.tile_ranges(p.cull_bbox, 32, ntxg, ntyg)
+        cnt = jnp.where(p.active, ntx * nty, 0).astype(jnp.int32)
+        return cnt[o], tx0[o], ty0[o], ntx[o], nty[o]
+
+    t_rp, (cnt_s, tx0s, ty0s, ntxs, ntys) = timed(
+        jax.jit(rect_perm), prep, order, iters=it)
+    log(f"rects+counts permute (N)  {t_rp*1e3:8.1f} ms")
+
+    fwd = jax.jit(lambda f, o, cn, a, b_, cc, d: _forward_impl(
+        f, o, cn, a, b_, cc, d, WIDTH, HEIGHT, c)[:2])
+    t_loop, _ = timed(fwd, feat, order, cnt_s, tx0s, ty0s, ntxs, ntys,
+                      iters=it)
+    log(f"slice loop (incl table)   {t_loop*1e3:8.1f} ms")
+
+    fwd_full = jax.jit(lambda m, cm: render_traced(m, cm, WIDTH, HEIGHT, c)[0])
+    t_all, _ = timed(fwd_full, model, cam, iters=it)
+    log(f"render_traced fwd total   {t_all*1e3:8.1f} ms")
 
 
 def _bwd_stage_probe(args, model, cam, cfg):
