@@ -92,17 +92,21 @@ def render_traced(
     differentiates w.r.t. an all-zero offset to read viewspace gradients.
     """
     prep = preprocess_traced(model, cam, width, height, cfg, screen_offset)
-    feat = binning.pack_features(prep)
     if _use_pallas(cfg) and cfg.slice_pairs > 0:
         # Depth-sliced lazy binning: P-scale sort work tracks composited
-        # pairs, not total demand (render/sliced.py).
-        from gsplat_tpu.render.sliced import render_sliced_tiles
+        # pairs, not total demand (render/sliced.py). Its feature pack
+        # carries the loop's per-gaussian aux words in the spare columns.
+        from gsplat_tpu.render.sliced import (
+            pack_features_aux, render_sliced_tiles,
+        )
 
+        feat = pack_features_aux(prep, width, height, cfg.tile_size)
         color, trans = render_sliced_tiles(prep, feat, width, height, cfg)
         return (
             tiles_to_image(color, width, height, cfg.tile_size),
             tiles_to_image(trans, width, height, cfg.tile_size),
         )
+    feat = binning.pack_features(prep)
     if _use_pallas(cfg):
         # Fused path: the 13 feature columns ride the pair sort, so binning
         # emits the kernels' dense pair slab directly — no post-sort P-row

@@ -30,6 +30,15 @@ scales with *composited* pairs instead:
      tiny MXU ops, no gathers), so late slices fill with pairs that can
      still matter.
 
+N-scale cost discipline (the round-4 fwd-stage probe: a [N] i32 gather by
+the depth permutation costs ~60 ms at 5M rows on the v5e — narrow rows
+gather atrociously — while one [N, 16] row gather costs ~94 ms total):
+every per-gaussian quantity the loop needs (13 raster features, the
+packed rect words, the ORIGINAL gaussian id) rides ONE [N, 16] f32 row
+gather into the depth-sorted ``table``; nothing else is permuted. Because
+pair slots carry original ids, the gradient reduction lands directly in
+original-id order — no inverse permutation is ever materialized.
+
 Semantics: identical to the standard Pallas path at the same
 ``early_stop_transmittance`` (done is checked at slice granularity with
 the same threshold the kernel checks at block granularity; alignment-pad
@@ -41,9 +50,12 @@ gaussians are dropped when demand exceeds the budget.
 
 The backward replays executed slices front-to-back (recompute design of
 kernels/raster_bwd.py), threading the walk-state carry, re-gathering each
-slice's feature blocks from the stored pair ids (64 B/pair, block-granular)
-and reducing each slice's pair gradients to its (disjoint!) range of
-depth-sorted gaussians with the sort+cumsum segment reduction.
+slice's feature blocks from the stored original-id pairs (64 B/pair,
+block-granular, the same ``build_pair_feat`` gather both kernels share)
+and reducing each slice's pair gradients with a sort-by-id + cumsum
+segment reduction whose boundaries come from a per-id last-position
+scatter-max (slices partition the gaussians, so per-slice contributions
+are disjoint and sum exactly).
 """
 
 from __future__ import annotations
@@ -77,6 +89,14 @@ def _grid(width: int, height: int, ts: int) -> Tuple[int, int, int]:
     return ntxg, ntyg, ntxg * ntyg
 
 
+def _rect_bits(ntxg: int, ntyg: int) -> Tuple[int, int]:
+    """Bit widths for the packed per-gaussian rect words."""
+    bx = max(int(ntxg).bit_length(), 1)
+    by = max(int(ntyg).bit_length(), 1)
+    assert bx + by + 1 <= 31, (ntxg, ntyg)
+    return bx, by
+
+
 def _sizes(cfg: RasterConfig, num_tiles: int):
     """Static buffer sizes of one slice."""
     align = cfg.pair_block
@@ -101,23 +121,32 @@ def _alive_mask(done, g0, iota_n, tx0, ty0, ntx, nty, ntxg, ntyg, es):
     ``y_g^T @ notdone2d @ x_g`` — one [N, ntyg] x [ntyg, ntxg] matmul and an
     elementwise masked row-sum, no gathers. 0/1 inputs with f32 accumulation
     are exact (values <= num_tiles), so the q > 0.5 test is crisp.
+
+    When no tile is done yet (every slice-0 entry) the rect query is the
+    constant True — a ``lax.cond`` skips the [N, tiles] mask build entirely.
     """
     if es <= 0.0:
         return iota_n >= g0
-    ndm = jnp.logical_not(done).reshape(ntyg, ntxg).astype(jnp.bfloat16)
-    tyc = jax.lax.broadcasted_iota(_I32, (1, ntyg), 1)
-    txc = jax.lax.broadcasted_iota(_I32, (1, ntxg), 1)
-    ym = ((tyc >= ty0[:, None]) & (tyc < (ty0 + nty)[:, None])).astype(
-        jnp.bfloat16
+
+    def rect_query(_):
+        ndm = jnp.logical_not(done).reshape(ntyg, ntxg).astype(jnp.bfloat16)
+        tyc = jax.lax.broadcasted_iota(_I32, (1, ntyg), 1)
+        txc = jax.lax.broadcasted_iota(_I32, (1, ntxg), 1)
+        ym = ((tyc >= ty0[:, None]) & (tyc < (ty0 + nty)[:, None])).astype(
+            jnp.bfloat16
+        )
+        xm = ((txc >= tx0[:, None]) & (txc < (tx0 + ntx)[:, None])).astype(_F32)
+        rowhit = jax.lax.dot_general(
+            ym, ndm,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=_F32,
+        )  # [N, ntxg]
+        return jnp.sum(rowhit * xm, axis=1) > 0.5
+
+    hit = jax.lax.cond(
+        jnp.any(done), rect_query, lambda _: jnp.ones(iota_n.shape, bool), None
     )
-    xm = ((txc >= tx0[:, None]) & (txc < (tx0 + ntx)[:, None])).astype(_F32)
-    rowhit = jax.lax.dot_general(
-        ym, ndm,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=_F32,
-    )  # [N, ntxg]
-    q = jnp.sum(rowhit * xm, axis=1)
-    return (q > 0.5) & (iota_n >= g0)
+    return hit & (iota_n >= g0)
 
 
 def _slice_counts(alive, g1, cnt, iota_n):
@@ -127,16 +156,22 @@ def _slice_counts(alive, g1, cnt, iota_n):
 
 
 def _bin_slice(table, cnt_k, in_slice, cum, pairs_k, tx0, ty0, ntx, nty,
-               done, ntxg, ntyg, cfg):
+               bxw, byw, ntxg, ntyg, cfg):
     """Build one slice's sorted pair buffer + dense feature slab.
 
+    ``table``: the [N, 16] f32 depth-sorted row table (cols 0-12 raster
+    features, col 13 rect word tx0|ty0<<bxw, col 14 ntx|nty<<bxw|active,
+    col 15 ORIGINAL gaussian id — i32 words bitcast to f32).
+
     Returns (pair_feat [nblk_s, 16, align], pair_ids [s_store] i32 —
-    depth-SORTED gaussian index per slot, sentinel N — tile_start [T],
+    ORIGINAL gaussian id per slot, sentinel N — tile_start [T],
     tile_count [T] true counts)."""
     n = cnt_k.shape[0]
     num_tiles = ntxg * ntyg
     align, s_cap, _, padcap, p_buf, nblk_s, s_store = _sizes(cfg, num_tiles)
     iota_n = jax.lax.broadcasted_iota(_I32, (n, 1), 0).squeeze(-1)
+    mskx = (1 << bxw) - 1
+    msky = (1 << byw) - 1
 
     # Segment layout: slices are contiguous in the depth-sorted emission
     # order, so segments tile [0, pairs_k) back-to-back — every slot below
@@ -151,18 +186,18 @@ def _bin_slice(table, cnt_k, in_slice, cum, pairs_k, tx0, ty0, ntx, nty,
     slot = jax.lax.broadcasted_iota(_I32, (s_cap, 1), 0).squeeze(-1)
     local = slot - seg_off
 
-    rows = table[pair_sg]  # [s_cap, 16] i32 (tx0, ty0, ntx, 13 feat cols)
-    w = jnp.maximum(rows[:, 2], 1)
-    tx_p = rows[:, 0] + local % w
-    ty_p = rows[:, 1] + local // w
+    rows = table[pair_sg]  # [s_cap, 16] f32 — feats + rect words + orig id
+    w0p = jax.lax.bitcast_convert_type(rows[:, 13], _I32)
+    w1p = jax.lax.bitcast_convert_type(rows[:, 14], _I32)
+    w = jnp.maximum(w1p & mskx, 1)
+    tx_p = (w0p & mskx) + local % w
+    ty_p = ((w0p >> bxw) & msky) + local // w
     valid = slot < pairs_k
     key = jnp.where(valid, ty_p * ntxg + tx_p, num_tiles)
-    vals = jnp.where(valid, pair_sg, n)
-    feats13 = jnp.where(
-        valid[:, None],
-        jax.lax.bitcast_convert_type(rows[:, 3:16], _F32),
-        0.0,
-    )
+    vals = jnp.where(
+        valid, jax.lax.bitcast_convert_type(rows[:, 15], _I32), n
+    )  # ORIGINAL gaussian id per pair
+    feats13 = jnp.where(valid[:, None], rows[:, :13], 0.0)
 
     # Per-tile counts: the separable MXU histogram over this slice's
     # gaussians (ops/binning.py step 3).
@@ -212,32 +247,43 @@ def _bin_slice(table, cnt_k, in_slice, cum, pairs_k, tx0, ty0, ntx, nty,
     return pair_feat, pair_ids, tile_start, tile_count
 
 
-def _forward_impl(feat, order, cnt, tx0, ty0, ntx, nty, width, height, cfg):
-    """Run the slice loop. Returns (color, trans, residual dict incl. the
-    depth-sorted feature/rect table for the backward's regather)."""
+def _forward_impl(feat, order, width, height, cfg):
+    """Run the slice loop. Returns (color, trans, residual dict).
+
+    ``feat``: [N+1, 16] f32 rows from :func:`pack_features_aux` — cols
+    0-12 the raster features, col 13/14 the packed rect words, col 15 the
+    original id. Everything the loop needs per gaussian rides ONE [N, 16]
+    row gather into the depth-sorted ``table`` (narrow [N] gathers by the
+    permutation cost ~60 ms each at 5M rows on the v5e; five of them used
+    to be 312 ms of a 420 ms forward).
+    """
     from gsplat_tpu.kernels.raster_fwd import forward_tiles_carry
 
     ts = cfg.tile_size
     ntxg, ntyg, num_tiles = _grid(width, height, ts)
     align, s_cap, k_max, padcap, p_buf, nblk_s, s_store = _sizes(cfg, num_tiles)
-    n = cnt.shape[0]
+    bxw, byw = _rect_bits(ntxg, ntyg)
+    n = order.shape[0]
     npix = ts * ts
     es = cfg.early_stop_transmittance
     iota_n = jax.lax.broadcasted_iota(_I32, (n, 1), 0).squeeze(-1)
     tile_ids = jnp.arange(num_tiles, dtype=_I32)
+    mskx = (1 << bxw) - 1
+    msky = (1 << byw) - 1
 
-    # Depth-sorted feature/rect table: cols 0-2 = (tx0, ty0, ntx), cols
-    # 3-15 = the 13 live feature columns bitcast to i32 — one row gather
-    # resolves a pair slot's rect mapping AND its raster features.
-    table = jnp.concatenate(
-        [
-            tx0[:, None], ty0[:, None], ntx[:, None],
-            jax.lax.bitcast_convert_type(
-                feat[:-1][order][:, : B.NUM_LIVE_FEATURES].astype(_F32), _I32
-            ),
-        ],
-        axis=1,
-    )  # [N, 16]
+    # Depth-sorted row table: cols 0-12 = the 13 live feature columns, col
+    # 13/14 = the packed rect words, col 15 = the ORIGINAL gaussian id.
+    table = feat[:-1][order]
+
+    # Unpack the [N]-scale depth-sorted rect/count columns (elementwise).
+    w0 = jax.lax.bitcast_convert_type(table[:, 13], _I32)
+    w1 = jax.lax.bitcast_convert_type(table[:, 14], _I32)
+    tx0 = w0 & mskx
+    ty0 = (w0 >> bxw) & msky
+    ntx = w1 & mskx
+    nty = (w1 >> bxw) & msky
+    active = (w1 >> (bxw + byw)) & 1
+    cnt = jnp.where(active == 1, ntx * nty, 0)
 
     accum0 = jnp.zeros((num_tiles, 8, npix), _F32).at[:, 3, :].set(1.0)
     # Saturation is judged on COVERABLE pixels only: the reference's
@@ -283,7 +329,7 @@ def _forward_impl(feat, order, cnt, tx0, ty0, ntx, nty, width, height, cfg):
 
         pair_feat, pair_ids, tile_start, tile_count = _bin_slice(
             table, cnt_k, in_slice, cum, pairs_k, tx0, ty0, ntx, nty,
-            done, ntxg, ntyg, cfg,
+            bxw, byw, ntxg, ntyg, cfg,
         )
         countc = jnp.where(done, 0, tile_count)
         accum = forward_tiles_carry(
@@ -314,29 +360,22 @@ def _forward_impl(feat, order, cnt, tx0, ty0, ntx, nty, width, height, cfg):
         )
 
     out = jax.lax.while_loop(cond, body, state0)
-    out["table"] = table  # the bwd regathers features from this
     color = jnp.moveaxis(out["accum"][:, 0:3, :], 1, 2)  # [T, npix, 3]
     trans = out["accum"][:, 3, :]
     return color.astype(feat.dtype), trans.astype(feat.dtype), out
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
-def _rasterize_sliced(feat, order, inv_order, cnt, tx0, ty0, ntx, nty,
-                      width, height, cfg):
-    color, trans, _ = _forward_impl(
-        feat, order, cnt, tx0, ty0, ntx, nty, width, height, cfg
-    )
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _rasterize_sliced(feat, order, width, height, cfg):
+    color, trans, _ = _forward_impl(feat, order, width, height, cfg)
     return color, trans
 
 
-def _fwd(feat, order, inv_order, cnt, tx0, ty0, ntx, nty, width, height, cfg):
-    color, trans, out = _forward_impl(
-        feat, order, cnt, tx0, ty0, ntx, nty, width, height, cfg
-    )
+def _fwd(feat, order, width, height, cfg):
+    color, trans, out = _forward_impl(feat, order, width, height, cfg)
     residuals = (
-        feat, inv_order, cnt, tx0, ty0, ntx, nty, color, trans, out["table"],
+        feat, order, color, trans,
         out["k"], out["ids"], out["starts"], out["countc"], out["bdone"],
-        out["dsnap"], out["gb"],
     )
     return (color, trans), residuals
 
@@ -349,17 +388,12 @@ def _bwd(width, height, cfg, residuals, cotangents):
     )
     from gsplat_tpu.kernels.raster_fwd import build_pair_feat
 
-    (
-        feat, inv_order, cnt, tx0, ty0, ntx, nty, color, trans, table,
-        k_exec, ids, starts, countc, bdone, dsnap, gb,
-    ) = residuals
+    (feat, order, color, trans, k_exec, ids, starts, countc, bdone) = residuals
     g_color, g_trans = cotangents
     ts = cfg.tile_size
     ntxg, ntyg, num_tiles = _grid(width, height, ts)
     align, s_cap, k_max, padcap, p_buf, nblk_s, s_store = _sizes(cfg, num_tiles)
-    n = cnt.shape[0]
-    es = cfg.early_stop_transmittance
-    iota_n = jax.lax.broadcasted_iota(_I32, (n, 1), 0).squeeze(-1)
+    n = order.shape[0]
     tile_ids = jnp.arange(num_tiles, dtype=_I32)
 
     g_out = pack_tile_rows(g_color, g_trans)
@@ -370,28 +404,18 @@ def _bwd(width, height, cfg, residuals, cotangents):
     row0 = jnp.sum(g_out[:, 0:4, :] * fwd_out[:, 0:4, :], axis=1)  # [T, npix]
     carry = jnp.stack([row0, jnp.ones_like(row0)], axis=1)  # [T, 2, npix]
 
-    # Depth-sorted feature rows, rebuilt from the table residual (columns
-    # 3-15 are the 13 live feature columns bitcast; 13-15 of a feat row are
-    # lane padding) — avoids re-gathering [N, 16] rows from feat.
-    feat_s = jnp.concatenate(
-        [
-            jnp.concatenate(
-                [
-                    jax.lax.bitcast_convert_type(table[:, 3:16], _F32),
-                    jnp.zeros((n, 3), _F32),
-                ],
-                axis=1,
-            ),
-            jnp.zeros((1, feat.shape[1]), _F32),
-        ]
-    )  # + sentinel zero row at index n
+    # Pair ids are ORIGINAL gaussian ids, so the regather reads ``feat``
+    # itself (cols 13-15 are zero in pack_features — bitwise identical to
+    # the forward slab's zero-padded rows) and the reduction lands directly
+    # in original-id order: no inverse permutation exists anywhere.
+    feat32 = feat.astype(_F32)
 
     def run_bwd_kernel(k, carry):
         ids_k = ids[k]
         # build_pair_feat's chunked path rounds its block count up to a
         # gather-segment multiple; trim to the slice's own block count so
         # the gradient slab lines up with the written mask.
-        pair_feat = build_pair_feat(feat_s, ids_k, align)[:nblk_s]
+        pair_feat = build_pair_feat(feat32, ids_k, align)[:nblk_s]
         pair_grads, carry = backward_tiles_carry(
             pair_feat, starts[k], countc[k], tile_ids, bdone[k],
             g_out, basis, carry, ntxg, cfg,
@@ -399,11 +423,29 @@ def _bwd(width, height, cfg, residuals, cotangents):
         )
         return ids_k, pair_grads, carry
 
+    def reduce_sorted(ids_sorted, cum9, length):
+        """Per-id segment sums from an id-sorted cumsum: gather at each
+        id's LAST position (a scatter-max over the sorted ids) minus the
+        previous id's last position (a cummax over ids)."""
+        lastpos = jnp.full((n + 1,), -1, _I32).at[ids_sorted].max(
+            jnp.arange(length, dtype=_I32), mode="drop"
+        )
+        prev_end = jnp.concatenate(
+            [jnp.full((1,), -1, _I32), jax.lax.cummax(lastpos)[:-1]]
+        )
+        have = (lastpos >= 0)[:n]
+        g_at = cum9[jnp.maximum(lastpos, 0)[:n]]
+        g_prev = jnp.where(
+            (prev_end >= 0)[:n, None], cum9[jnp.maximum(prev_end, 0)[:n]], 0.0
+        )
+        return jnp.where(have[:, None], g_at - g_prev, 0.0)  # [n, 9]
+
     def slice_bwd(k, st):
-        """Per-slice reduction: sort this slice's pair grads by gaussian and
-        difference a cumsum at the slice's recomputed segment ends. Exact
-        for any composited-pair volume, but pays an O(N) gather per slice."""
-        carry, d_sorted = st
+        """Per-slice reduction: sort this slice's pair grads by original id
+        and difference a cumsum at each id's last position. Exact for any
+        composited-pair volume; slices partition the gaussians, so the
+        per-slice contributions are disjoint and sum exactly."""
+        carry, d_acc = st
         ids_k, pair_grads, carry = run_bwd_kernel(k, carry)
         # Rows the kernel wrote: each not-done tile's first bdone blocks
         # (raster_bwd.py written_mask).
@@ -417,32 +459,21 @@ def _bwd(width, height, cfg, residuals, cotangents):
         ]
         sorted_c = jax.lax.sort((ids_k, *cols), num_keys=1, is_stable=False)
         cum9 = jnp.stack([jnp.cumsum(c) for c in sorted_c[1:]], axis=1)
-        # Segment ends from the slice's recomputed per-gaussian counts
-        # (slices partition the depth-sorted gaussians, so writes to
-        # d_sorted are disjoint across slices).
-        alive = _alive_mask(
-            dsnap[k], gb[k], iota_n, tx0, ty0, ntx, nty, ntxg, ntyg, es
-        )
-        cnt_k, _ = _slice_counts(alive, gb[k + 1], cnt, iota_n)
-        ends = jnp.cumsum(cnt_k)
-        at = jnp.maximum(ends - 1, 0)
-        gathered = jnp.where((ends > 0)[:, None], cum9[at], 0.0)
-        prev = jnp.concatenate([jnp.zeros((1, 9), _F32), gathered[:-1]], axis=0)
-        return carry, d_sorted + (gathered - prev)
+        return carry, d_acc + reduce_sorted(sorted_c[0], cum9, s_store)
 
     d0 = jnp.zeros((n, 9), _F32)
     r_blk = cfg.reduce_pairs // align
     if r_blk <= 0:
-        _, d_sorted = jax.lax.fori_loop(0, k_exec, slice_bwd, (carry, d0))
+        _, d_acc = jax.lax.fori_loop(0, k_exec, slice_bwd, (carry, d0))
     else:
         # Cross-slice COMPACT reduction: with early termination the kernel
         # writes only each tile's first bdone blocks (at real density ~1%
         # of the pair budget). Append just those blocks — with their pair
         # ids — to one [r_blk * align]-pair buffer as the slices replay,
         # then run ONE sort+cumsum reduction at that scale: the per-slice
-        # O(N) segment gathers and O(s_store) sorts collapse into a single
-        # small pass. Exact: if the composited blocks overflow r_blk, a
-        # lax.cond replays the loop with the per-slice exact reduction.
+        # sorts collapse into a single small pass. Exact: if the composited
+        # blocks overflow r_blk, a lax.cond replays the loop with the
+        # per-slice exact reduction.
         r_cap = r_blk * align
         t_iota = jnp.arange(num_tiles, dtype=_I32)
         slot_b = jnp.arange(r_blk, dtype=_I32)
@@ -484,39 +515,55 @@ def _bwd(width, height, cfg, residuals, cotangents):
             cols = [cg[:, j, :].reshape(-1) for j in range(9)]
             sorted_c = jax.lax.sort((ids_c, *cols), num_keys=1, is_stable=False)
             cum9 = jnp.stack([jnp.cumsum(c) for c in sorted_c[1:]], axis=1)
-            lastpos = jnp.full((n + 1,), -1, _I32).at[sorted_c[0]].max(
-                jnp.arange(r_cap, dtype=_I32), mode="drop"
-            )
-            prev_end = jnp.concatenate(
-                [jnp.full((1,), -1, _I32), jax.lax.cummax(lastpos)[:-1]]
-            )
-            have = (lastpos >= 0)[:n]
-            g_at = cum9[jnp.maximum(lastpos, 0)[:n]]
-            g_prev = jnp.where(
-                (prev_end >= 0)[:n, None], cum9[jnp.maximum(prev_end, 0)[:n]], 0.0
-            )
-            return jnp.where(have[:, None], g_at - g_prev, 0.0)  # [n, 9]
+            return reduce_sorted(sorted_c[0], cum9, r_cap)
 
         def exact_replay():
             _, d = jax.lax.fori_loop(0, k_exec, slice_bwd, (carry, d0))
             return d
 
-        d_sorted = jax.lax.cond(overflow, exact_replay, compact_reduce)
-    # Unpermute from depth-sorted to original gaussian ids with a row
-    # GATHER by the precomputed inverse permutation — an O(N)-row scatter
-    # here measured ~0.4 s at 5M gaussians (scatters pay per row; gathers
-    # are several times cheaper). The sentinel row n stays zero.
-    d9 = jnp.concatenate([d_sorted[inv_order], jnp.zeros((1, 9), _F32)])
+        d_acc = jax.lax.cond(overflow, exact_replay, compact_reduce)
+    d9 = jnp.concatenate([d_acc, jnp.zeros((1, 9), _F32)])
     d_feat = jnp.pad(d9, ((0, 0), (0, feat.shape[1] - 9))).astype(feat.dtype)
 
-    def int_zero(x):
-        return np.zeros(x.shape, dtype=jax.dtypes.float0)
-
-    return (d_feat, int_zero(inv_order), int_zero(inv_order), int_zero(cnt),
-            int_zero(tx0), int_zero(ty0), int_zero(ntx), int_zero(nty))
+    return d_feat, np.zeros((n,), dtype=jax.dtypes.float0)
 
 
 _rasterize_sliced.defvjp(_fwd, _bwd)
+
+
+def pack_features_aux(
+    prep: Preprocessed, width: int, height: int, ts: int
+) -> jnp.ndarray:
+    """``pack_features`` with the spare columns carrying the slice loop's
+    per-gaussian aux words: col 13 = tx0|ty0<<bxw, col 14 =
+    ntx|nty<<bxw|active bit, col 15 = the ORIGINAL gaussian id (i32
+    bitcast to f32, stop_gradient'ed). The depth-sorted table is then ONE
+    [N, 16] row gather of this array — no separate concat/permute pass.
+    The kernels read only feature columns 0-12, so the aux payload is
+    inert in the compositing math; the sentinel row stays all-zero."""
+    ntxg, ntyg, _ = _grid(width, height, ts)
+    bxw, byw = _rect_bits(ntxg, ntyg)
+    n = prep.depth.shape[0]
+    iota_n = jnp.arange(n, dtype=_I32)
+    tx0, ty0, ntx, nty = B.tile_ranges(prep.cull_bbox, ts, ntxg, ntyg)
+    w0 = tx0 | (ty0 << bxw)
+    w1 = ntx | (nty << bxw) | (prep.active.astype(_I32) << (bxw + byw))
+    aux = jnp.stack([w0, w1, iota_n], axis=1)  # [N, 3] i32
+    auxf = jax.lax.bitcast_convert_type(jax.lax.stop_gradient(aux), _F32)
+    rows = jnp.concatenate(
+        [B.pack_feature_rows(prep)[:, :13].astype(_F32), auxf], axis=1
+    )
+    return jnp.concatenate([rows, jnp.zeros((1, 16), _F32)], axis=0)
+
+
+def _prepare_sliced(prep: Preprocessed, ts: int, ntxg: int, ntyg: int):
+    """The depth permutation the slice loop consumes."""
+    n = prep.depth.shape[0]
+    iota_n = jnp.arange(n, dtype=_I32)
+    dkey = _monotone_depth_key(prep.depth)
+    # Stable 1-key sort: ties keep id order -> (depth, id) lexicographic,
+    # the reference's stable argsort semantics.
+    return jax.lax.sort((dkey, iota_n), num_keys=1, is_stable=True)[1]
 
 
 def render_sliced_tiles(
@@ -529,25 +576,12 @@ def render_sliced_tiles(
     """Depth-sliced render of one view at tile level.
 
     Args: prep — the per-gaussian preprocess; feat — [N+1, 16] packed
-    features (ops/binning.pack_features; the differentiable surface).
-    Returns (color [T, npix, 3], trans [T, npix]) for the full tile grid.
-    Requires the Pallas path (TPU or interpreter mode).
+    features WITH aux columns (:func:`pack_features_aux`; the
+    differentiable surface). Returns (color [T, npix, 3], trans [T, npix])
+    for the full tile grid. Requires the Pallas path (TPU or interpreter
+    mode).
     """
     ts = cfg.tile_size
     ntxg, ntyg, _ = _grid(width, height, ts)
-    n = prep.depth.shape[0]
-    iota_n = jnp.arange(n, dtype=_I32)
-
-    dkey = _monotone_depth_key(prep.depth)
-    # Stable 1-key sort: ties keep id order -> (depth, id) lexicographic,
-    # the reference's stable argsort semantics.
-    order = jax.lax.sort((dkey, iota_n), num_keys=1, is_stable=True)[1]
-    # Inverse permutation via a second cheap sort (the backward unpermutes
-    # its gradient with a gather by this — a scatter would pay ~10x).
-    inv_order = jax.lax.sort((order, iota_n), num_keys=1)[1]
-    tx0, ty0, ntx, nty = B.tile_ranges(prep.cull_bbox, ts, ntxg, ntyg)
-    counts = jnp.where(prep.active, ntx * nty, 0).astype(_I32)
-    return _rasterize_sliced(
-        feat, order, inv_order, counts[order], tx0[order], ty0[order],
-        ntx[order], nty[order], width, height, cfg,
-    )
+    order = _prepare_sliced(prep, ts, ntxg, ntyg)
+    return _rasterize_sliced(feat, order, width, height, cfg)

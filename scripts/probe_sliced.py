@@ -82,29 +82,23 @@ def main():
     if args.diag:
         import math
 
-        from gsplat_tpu.ops import binning as B
         from gsplat_tpu.render.pipeline import preprocess_traced
-        from gsplat_tpu.render.sliced import _forward_impl, _monotone_depth_key
+        from gsplat_tpu.render.sliced import (
+            _forward_impl, _grid, _prepare_sliced, pack_features_aux,
+        )
 
         s = int(args.slices.split(",")[0])
         c = cfg(slice_pairs=s)
         prep = jax.jit(
             lambda m, cm: preprocess_traced(m, cm, WIDTH, HEIGHT, c)
         )(model, cam)
-        feat = B.pack_features(prep)
+        feat = pack_features_aux(prep, WIDTH, HEIGHT, 32)
         n = args.n
-        iota = jnp.arange(n, dtype=jnp.int32)
-        order = jax.lax.sort(
-            (_monotone_depth_key(prep.depth), iota), num_keys=1, is_stable=True
-        )[1]
-        ntxg, ntyg = -(-WIDTH // 32), -(-HEIGHT // 32)
-        tx0, ty0, ntx, nty = B.tile_ranges(prep.cull_bbox, 32, ntxg, ntyg)
-        counts = jnp.where(prep.active, ntx * nty, 0).astype(jnp.int32)
+        ntxg, ntyg, _nt = _grid(WIDTH, HEIGHT, 32)
+        order = _prepare_sliced(prep, 32, ntxg, ntyg)
 
-        fwd = jax.jit(lambda f, o, cn, a, b_, cc, d: _forward_impl(
-            f, o, cn, a, b_, cc, d, WIDTH, HEIGHT, c)[2])
-        out = fwd(feat, order, counts[order], tx0[order], ty0[order],
-                  ntx[order], nty[order])
+        fwd = jax.jit(lambda f, o: _forward_impl(f, o, WIDTH, HEIGHT, c)[2])
+        out = fwd(feat, order)
         k = int(out["k"])
         k_max = math.ceil(c.max_pairs / s)
         log(f"diag slice_pairs={s}: slices executed {k}/{k_max}, "
@@ -254,14 +248,22 @@ def _fwd_stage_probe(args, model, cam, cfg):
         cnt = jnp.where(p.active, ntx * nty, 0).astype(jnp.int32)
         return cnt[o], tx0[o], ty0[o], ntx[o], nty[o]
 
-    t_rp, (cnt_s, tx0s, ty0s, ntxs, ntys) = timed(
-        jax.jit(rect_perm), prep, order, iters=it)
-    log(f"rects+counts permute (N)  {t_rp*1e3:8.1f} ms")
+    t_rp, _ = timed(jax.jit(rect_perm), prep, order, iters=it)
+    log(f"rects+counts permute (N)  {t_rp*1e3:8.1f} ms  [legacy cost]")
 
-    fwd = jax.jit(lambda f, o, cn, a, b_, cc, d: _forward_impl(
-        f, o, cn, a, b_, cc, d, WIDTH, HEIGHT, c)[:2])
-    t_loop, _ = timed(fwd, feat, order, cnt_s, tx0s, ty0s, ntxs, ntys,
-                      iters=it)
+    from gsplat_tpu.render.sliced import _prepare_sliced, pack_features_aux
+
+    t_aux, order2 = timed(
+        jax.jit(lambda p: _prepare_sliced(p, 32, ntxg, ntyg)), prep, iters=it)
+    log(f"prepare (depth sort)      {t_aux*1e3:8.1f} ms")
+
+    t_pka, feat_a = timed(
+        jax.jit(lambda p: pack_features_aux(p, WIDTH, HEIGHT, 32)),
+        prep, iters=it)
+    log(f"pack_features_aux (N)     {t_pka*1e3:8.1f} ms")
+
+    fwd = jax.jit(lambda f, o: _forward_impl(f, o, WIDTH, HEIGHT, c)[:2])
+    t_loop, _ = timed(fwd, feat_a, order2, iters=it)
     log(f"slice loop (incl table)   {t_loop*1e3:8.1f} ms")
 
     fwd_full = jax.jit(lambda m, cm: render_traced(m, cm, WIDTH, HEIGHT, c)[0])
@@ -280,7 +282,7 @@ def _bwd_stage_probe(args, model, cam, cfg):
     from gsplat_tpu.ops import binning as B
     from gsplat_tpu.render.pipeline import preprocess_traced
     from gsplat_tpu.render.sliced import (
-        _forward_impl, _grid, _monotone_depth_key, _sizes,
+        _forward_impl, _grid, _prepare_sliced, _sizes, pack_features_aux,
     )
 
     s = int(args.slices.split(",")[0])
@@ -293,21 +295,15 @@ def _bwd_stage_probe(args, model, cam, cfg):
     prep = jax.jit(lambda m, cm: preprocess_traced(m, cm, WIDTH, HEIGHT, c))(
         model, cam
     )
-    feat = B.pack_features(prep)
+    feat = pack_features_aux(prep, WIDTH, HEIGHT, ts)
     n = args.n
     iota = jnp.arange(n, dtype=jnp.int32)
-    order = jax.lax.sort(
-        (_monotone_depth_key(prep.depth), iota), num_keys=1, is_stable=True
-    )[1]
+    order = _prepare_sliced(prep, ts, ntxg, ntyg)
     tx0, ty0, ntx, nty = B.tile_ranges(prep.cull_bbox, ts, ntxg, ntyg)
     counts = jnp.where(prep.active, ntx * nty, 0).astype(jnp.int32)
 
-    fwd = jax.jit(lambda f, o, cn, a, b_, cc, d: _forward_impl(
-        f, o, cn, a, b_, cc, d, WIDTH, HEIGHT, c))
-    t_fwd, (color, trans, out) = timed(
-        fwd, feat, order, counts[order], tx0[order], ty0[order],
-        ntx[order], nty[order], iters=it,
-    )
+    fwd = jax.jit(lambda f, o: _forward_impl(f, o, WIDTH, HEIGHT, c))
+    t_fwd, (color, trans, out) = timed(fwd, feat, order, iters=it)
     log(f"fwd loop total        {t_fwd*1e3:8.1f} ms  (k={int(out['k'])})")
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
@@ -318,14 +314,11 @@ def _bwd_stage_probe(args, model, cam, cfg):
     fwd_out = pack_tile_rows(color, trans)
     row0 = jnp.sum(g_out[:, 0:4, :] * fwd_out[:, 0:4, :], axis=1)
     carry = jnp.stack([row0, jnp.ones_like(row0)], axis=1)
-    feat_s = jnp.concatenate(
-        [feat[:-1][order].astype(jnp.float32),
-         jnp.zeros((1, feat.shape[1]), jnp.float32)]
-    )
+    feat32 = feat.astype(jnp.float32)  # ids are ORIGINAL gaussian ids
     ids0 = out["ids"][0]
 
     gather_fn = jax.jit(lambda f, i: build_pair_feat(f, i, align)[:nblk_s])
-    t_g, pair_feat = timed(gather_fn, feat_s, ids0, iters=it)
+    t_g, pair_feat = timed(gather_fn, feat32, ids0, iters=it)
     log(f"slice regather        {t_g*1e3:8.1f} ms")
 
     kern = jax.jit(lambda pf, st, tc, bd, go, ba, ca: backward_tiles_carry(

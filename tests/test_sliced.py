@@ -87,7 +87,9 @@ def test_sliced_early_stop_matches_and_exits_early():
 
     from gsplat_tpu.ops import binning as B
     from gsplat_tpu.render.pipeline import preprocess_traced
-    from gsplat_tpu.render.sliced import _forward_impl, _monotone_depth_key
+    from gsplat_tpu.render.sliced import (
+        _forward_impl, _prepare_sliced, pack_features_aux,
+    )
 
     model, rng = _model(n=400, opaque=True)
     cam = CameraArrays.from_params(make_camera())
@@ -114,18 +116,10 @@ def test_sliced_early_stop_matches_and_exits_early():
 
     # the loop terminates before k_max on a finite scene
     prep = preprocess_traced(model, cam, 64, 48, cfg)
-    feat = B.pack_features(prep)
+    feat = pack_features_aux(prep, 64, 48, 16)
     n = model.num_gaussians
-    iota = jnp.arange(n, dtype=jnp.int32)
-    order = jax.lax.sort(
-        (_monotone_depth_key(prep.depth), iota), num_keys=1, is_stable=True
-    )[1]
-    tx0, ty0, ntx, nty = B.tile_ranges(prep.cull_bbox, 16, 4, 3)
-    counts = jnp.where(prep.active, ntx * nty, 0).astype(jnp.int32)
-    _, _, out = _forward_impl(
-        feat, order, counts[order], tx0[order], ty0[order], ntx[order],
-        nty[order], 64, 48, cfg,
-    )
+    order = _prepare_sliced(prep, 16, 4, 3)
+    _, _, out = _forward_impl(feat, order, 64, 48, cfg)
     k_max = math.ceil(cfg.max_pairs / cfg.slice_pairs)
     assert int(out["k"]) < k_max
     # every emitted slice's pairs were consumed in depth order
