@@ -68,10 +68,46 @@ def _time_left() -> float:
     return BENCH_BUDGET_S - (time.monotonic() - _BENCH_T0[0])
 
 
+_EMITTED = [False]
+
+
 def emit(result: dict) -> None:
     """Print one JSON line and flush — the driver tail-parses stdout, so
     every exit path after the first emit leaves a valid artifact."""
+    _EMITTED[0] = True
     print(json.dumps(result), flush=True)
+
+
+def _provisional_artifact_timer(metric: str, deadline_s: float) -> None:
+    """Guarantee a parseable tail line even if a device op wedges AFTER the
+    first-op watchdog passed (observed 2026-08-19: tunnel up at t=0, then a
+    headline compile stretched past 10 min on a degraded link). If nothing
+    has been emitted by ``deadline_s``, print a tagged zero-value line and
+    KEEP RUNNING — a late real headline then prints after it and the
+    driver's tail-parse picks the real one; a kill before that still finds
+    this line instead of an empty log."""
+    import threading
+
+    def fire():
+        if not _EMITTED[0]:
+            print(json.dumps({
+                "metric": metric,
+                "value": 0.0,
+                "unit": "frames/s",
+                "vs_baseline": 0.0,
+                "extra": {
+                    "error": "no_headline_yet",
+                    "detail": (
+                        f"no measurement completed within {deadline_s:.0f}s "
+                        "(tunnel slow or wedged mid-run); bench still "
+                        "running — a later line supersedes this one"
+                    ),
+                },
+            }), flush=True)
+
+    t = threading.Timer(deadline_s, fire)
+    t.daemon = True
+    t.start()
 
 # log-scale shifts for the pair-density sweep: each shift grows every splat
 # by e^shift linearly, raising pairs/gaussian from ~1 toward real MipNeRF-360
@@ -595,10 +631,14 @@ def main():
     ap.add_argument("--selftest-gaussians", type=int, default=1_000_000)
     args = ap.parse_args()
 
-    _device_watchdog(
+    metric = (
         "selftest_pallas_vs_jnp_max_abs_err" if args.selftest
         else "real_scene_fwd+bwd_frames_per_sec_per_chip" if args.scene
         else "1080p_fwd+bwd_frames_per_sec_per_chip"
+    )
+    _device_watchdog(metric)
+    _provisional_artifact_timer(
+        metric, float(os.environ.get("GSPLAT_BENCH_PROVISIONAL_S", "420"))
     )
     if args.selftest:
         result = selftest(args)
