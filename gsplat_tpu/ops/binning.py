@@ -122,6 +122,38 @@ def strided_tile_ranges(
     return lx0, ly0, jnp.where(empty, 0, lnx), jnp.where(empty, 0, lny)
 
 
+def coverage_histogram(
+    rects, keep: jnp.ndarray, n_tiles_x: int, n_tiles_y: int
+) -> jnp.ndarray:
+    """Per-tile covering-gaussian counts via the MXU: rect coverage is
+    separable, so ``counts2d = Y^T @ X`` with X/Y the per-axis 0/1 range
+    masks (0/1 values: exact in bf16 inputs / f32 accumulation). ``keep``
+    gates one factor only — the product needs it once. Masks are built at
+    the TIGHT grid dims: XLA pads lanes in VMEM for free, but explicit
+    padding (an earlier [N, 128] layout) costs real HBM traffic at N scale
+    (SCALING_r04 Amdahl tail). Returns f32 ``[n_tiles_y, n_tiles_x]``.
+
+    Tile shards call this on their own N/tp gaussian slice against the
+    GLOBAL grid and psum the [ny, nx] result over the tile axis
+    (parallel/shard.py) — the mask-build cost then shrinks with the tile
+    factor instead of staying replicated."""
+    i32 = jnp.int32
+    tx0, ty0, ntx, nty = rects
+    txc = jax.lax.broadcasted_iota(i32, (1, n_tiles_x), 1)
+    tyc = jax.lax.broadcasted_iota(i32, (1, n_tiles_y), 1)
+    x_mask = (
+        (txc >= tx0[:, None]) & (txc < (tx0 + ntx)[:, None]) & keep[:, None]
+    ).astype(jnp.bfloat16)
+    y_mask = (
+        (tyc >= ty0[:, None]) & (tyc < (ty0 + nty)[:, None])
+    ).astype(jnp.bfloat16)
+    return jax.lax.dot_general(
+        y_mask, x_mask,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def bin_gaussians(
     prep: Preprocessed,
     width: int,
@@ -158,6 +190,7 @@ def bin_rects(
     max_pairs: int,
     align: int = 1,
     feat_rows: jnp.ndarray | None = None,
+    tile_count_override: jnp.ndarray | None = None,
 ) -> TileBinning:
     """Bin gaussians with explicit per-gaussian tile rects onto an
     ``n_tiles_x x n_tiles_y`` tile grid (static shapes).
@@ -198,6 +231,13 @@ def bin_rects(
 
     Returned ``pair_gaussian`` has length ``max_pairs + num_tiles*(align-1)``
     (real capacity plus the alignment-pad block).
+
+    ``tile_count_override`` (``[num_tiles]`` i32, optional): externally
+    computed per-tile covering counts — tile shards pass the strided
+    extraction of the gaussian-axis-sharded global histogram
+    (parallel/shard.py). Used only on the no-overflow fast path; under
+    overflow the kept-gated local histogram is recomputed (the override
+    counts gaussians the threshold search may have dropped).
 
     With ``feat_rows`` (the ``[N, 16]`` packed per-gaussian raster features,
     :func:`pack_feature_rows`) the 13 live feature columns RIDE the pair
@@ -328,28 +368,28 @@ def bin_rects(
             0.0,
         )  # [max_pairs, 13]
 
-    # 3. Per-tile pair counts via the MXU: rect coverage is separable, so
-    #    counts2d = Y^T @ X with X/Y the per-axis 0/1 range masks (exact in
-    #    bf16 inputs / f32 accumulation).
-    ntxp = -(-n_tiles_x // 128) * 128
-    ntyp = -(-n_tiles_y // 8) * 8
-    txc = jax.lax.broadcasted_iota(i32, (1, ntxp), 1)
-    tyc = jax.lax.broadcasted_iota(i32, (1, ntyp), 1)
-    keep_col = (gaussian_counts > 0)[:, None]
-    x_mask = (
-        (txc >= tx0[:, None]) & (txc < (tx0 + ntx)[:, None]) & keep_col
-    ).astype(jnp.bfloat16)
-    y_mask = (
-        (tyc >= ty0[:, None]) & (tyc < (ty0 + nty)[:, None]) & keep_col
-    ).astype(jnp.bfloat16)
-    counts2d = jax.lax.dot_general(
-        y_mask, x_mask,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [ntyp, ntxp]
-    tile_count = (
-        counts2d[:n_tiles_y, :n_tiles_x].reshape(num_tiles).astype(i32)
-    )
+    # 3. Per-tile pair counts via the MXU separable histogram
+    #    (:func:`coverage_histogram`). Tile shards precompute these counts
+    #    from the gaussian-axis-sharded GLOBAL histogram (one tiny psum,
+    #    parallel/shard.py) and pass them as ``tile_count_override`` — valid
+    #    whenever no gaussian was dropped, so under overflow (rare: budgets
+    #    carry headroom) the kept-gated local histogram is recomputed.
+    def local_hist():
+        return (
+            coverage_histogram(
+                (tx0, ty0, ntx, nty), gaussian_counts > 0,
+                n_tiles_x, n_tiles_y,
+            )
+            .reshape(num_tiles)
+            .astype(i32)
+        )
+
+    if tile_count_override is None:
+        tile_count = local_hist()
+    else:
+        tile_count = jax.lax.cond(
+            total <= cap, lambda: tile_count_override, local_hist
+        )
 
     # 4. Alignment pads as explicit sort keys: per tile, pad_t sentinel
     #    pairs with that tile's key and +inf depth, so the sort places them

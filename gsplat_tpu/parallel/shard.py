@@ -137,9 +137,37 @@ def _shard_bin(
         ],
         axis=1,
     )  # [n_local, 6]
+
+    # Global-grid tile histogram, sharded over the gaussian axis: each
+    # device histograms ITS OWN N/tp slice against the whole tile grid and
+    # one tiny [nty_g, ntx_g] psum replaces every shard's N-scale local
+    # histogram inside bin_rects — the mask-build cost then shrinks with
+    # the tile factor instead of staying replicated (SCALING_r04 Amdahl
+    # tail). The strided extraction below is exact whenever no gaussian is
+    # dropped; bin_rects falls back to its kept-gated local histogram
+    # under capacity overflow.
+    g_rects = binning.tile_ranges(
+        prep.cull_bbox, cfg.tile_size, lay.ntx_g, lay.nty_g
+    )
+    keep = prep.active & (g_rects[2] > 0) & (g_rects[3] > 0)
+    counts2d_g = binning.coverage_histogram(
+        g_rects, keep, lay.ntx_g, lay.nty_g
+    )
     if tp > 1:
+        counts2d_g = jax.lax.psum(counts2d_g, TILE_AXIS)
         feat_rows = jax.lax.all_gather(feat_rows, TILE_AXIS, axis=0, tiled=True)
         binput = jax.lax.all_gather(binput, TILE_AXIS, axis=0, tiled=True)
+    # Strided extraction of this shard's tiles: global row ty = j*sy + oy,
+    # col tx = i*sx + ox (pad the grid up to the stride multiple first).
+    c2 = jnp.pad(
+        counts2d_g,
+        ((0, lay.sy * lay.nty_l - lay.nty_g), (0, lay.sx * lay.ntx_l - lay.ntx_g)),
+    )
+    tile_count_o = (
+        c2.reshape(lay.nty_l, lay.sy, lay.ntx_l, lay.sx)[:, oy, :, ox]
+        .reshape(lay.tiles_local)
+        .astype(jnp.int32)
+    )
     depth = binput[:, 0]
     active = binput[:, 1] > 0.5
     cull_bbox = binput[:, 2:6].astype(jnp.int32)
@@ -154,6 +182,7 @@ def _shard_bin(
             depth, active, rects, lay.ntx_l, lay.nty_l, cfg.max_pairs,
             align=cfg.pair_block,
             feat_rows=jax.lax.stop_gradient(feat_rows),
+            tile_count_override=tile_count_o,
         )
         pair_feat_i32 = jnp.asarray(
             jax.lax.bitcast_convert_type(pair_feat, jnp.int32)
@@ -161,7 +190,7 @@ def _shard_bin(
     else:
         bins = binning.bin_rects(
             depth, active, rects, lay.ntx_l, lay.nty_l, cfg.max_pairs,
-            align=cfg.pair_block,
+            align=cfg.pair_block, tile_count_override=tile_count_o,
         )
         pair_feat_i32 = None
     feat = jnp.concatenate(
