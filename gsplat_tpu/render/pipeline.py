@@ -94,13 +94,11 @@ def render_traced(
     prep = preprocess_traced(model, cam, width, height, cfg, screen_offset)
     if _use_pallas(cfg) and cfg.slice_pairs > 0:
         # Depth-sliced lazy binning: P-scale sort work tracks composited
-        # pairs, not total demand (render/sliced.py). Its feature pack
-        # carries the loop's per-gaussian aux words in the spare columns.
-        from gsplat_tpu.render.sliced import (
-            pack_features_aux, render_sliced_tiles,
-        )
+        # pairs, not total demand (render/sliced.py); features stay in
+        # original id order (the standard pack).
+        from gsplat_tpu.render.sliced import render_sliced_tiles
 
-        feat = pack_features_aux(prep, width, height, cfg.tile_size)
+        feat = binning.pack_features(prep).astype(jnp.float32)
         color, trans = render_sliced_tiles(prep, feat, width, height, cfg)
         return (
             tiles_to_image(color, width, height, cfg.tile_size),

@@ -30,21 +30,25 @@ scales with *composited* pairs instead:
      tiny MXU ops, no gathers), so late slices fill with pairs that can
      still matter.
 
-N-scale cost discipline (the round-4 fwd-stage probe: a [N] i32 gather by
-the depth permutation costs ~60 ms at 5M rows on the v5e — narrow rows
-gather atrociously — while one [N, 16] row gather costs ~94 ms total):
-every per-gaussian quantity the loop needs (13 raster features, the
-packed rect words, the ORIGINAL gaussian id) rides ONE [N, 16] f32 row
-gather into the depth-sorted ``table``; nothing else is permuted. Because
-pair slots carry original ids, the gradient reduction lands directly in
-original-id order — no inverse permutation is ever materialized.
+N-scale cost discipline (round-4/5 probes on the v5e at 5M rows: a [N]
+i32 narrow gather by the depth permutation costs ~60 ms, a [N, 16] row
+gather ~93 ms, one extra depth-sort value operand ~10 ms, an N-element
+scatter ~4.7 ns/update regardless of target size): NOTHING is permuted or
+scattered at N scale outside the one 4-operand depth sort — the packed
+rect words ride the sort as values, per-pair lookups come from the
+windowed decode's one-hot selects (ops/binning.expand_segments), and the
+feature slab is fetched at P scale from the id-ordered ``feat`` rows.
+Because pair slots carry original ids, the gradient reduction lands
+directly in original-id order — no inverse permutation is ever
+materialized.
 
 Semantics: identical to the standard Pallas path at the same
 ``early_stop_transmittance`` (done is checked at slice granularity with
 the same threshold the kernel checks at block granularity; alignment-pad
 sentinels are exactly neutral: x*1.0 and x+0.0). With early stop disabled
-the loop runs every slice and the result is bitwise-equal to the unsliced
-compositor in exact mode. Overflow policy matches ops/binning.py: at most
+the loop runs every slice and the result matches the unsliced compositor
+to 1-2 ULP (slice boundaries re-chunk the per-tile scans, reassociating
+the transmittance products; the pair ORDER is identical). Overflow policy matches ops/binning.py: at most
 ``ceil(cfg.max_pairs / cfg.slice_pairs)`` slices run, so the deepest whole
 gaussians are dropped when demand exceeds the budget.
 
@@ -155,13 +159,14 @@ def _slice_counts(alive, g1, cnt, iota_n):
     return jnp.where(in_slice, cnt, 0), in_slice
 
 
-def _bin_slice(table, cnt_k, in_slice, cum, pairs_k, tx0, ty0, ntx, nty,
+def _bin_slice(feat, order, w0s, w1s, cnt_k, cum, pairs_k,
                bxw, byw, ntxg, ntyg, cfg):
     """Build one slice's sorted pair buffer + dense feature slab.
 
-    ``table``: the [N, 16] f32 depth-sorted row table (cols 0-12 raster
-    features, col 13 rect word tx0|ty0<<bxw, col 14 ntx|nty<<bxw|active,
-    col 15 ORIGINAL gaussian id — i32 words bitcast to f32).
+    ``feat``: the [N+1, 16] f32 feature rows in ORIGINAL id order (row N
+    the zero sentinel); ``order``/``w0s``/``w1s``: the depth-sorted
+    original-id permutation and rect words (values of the 4-operand depth
+    sort — nothing is ever permuted at N scale outside that sort).
 
     Returns (pair_feat [nblk_s, 16, align], pair_ids [s_store] i32 —
     ORIGINAL gaussian id per slot, sentinel N — tile_start [T],
@@ -169,55 +174,51 @@ def _bin_slice(table, cnt_k, in_slice, cum, pairs_k, tx0, ty0, ntx, nty,
     n = cnt_k.shape[0]
     num_tiles = ntxg * ntyg
     align, s_cap, _, padcap, p_buf, nblk_s, s_store = _sizes(cfg, num_tiles)
-    iota_n = jax.lax.broadcasted_iota(_I32, (n, 1), 0).squeeze(-1)
     mskx = (1 << bxw) - 1
     msky = (1 << byw) - 1
 
     # Segment layout: slices are contiguous in the depth-sorted emission
     # order, so segments tile [0, pairs_k) back-to-back — every slot below
     # pairs_k is valid by construction (no per-slot count check needed).
-    eff = in_slice & (cnt_k > 0)
-    off = cum - cnt_k
-    starts = jnp.where(eff, off, s_cap)
-    m_id = jnp.zeros((s_cap,), _I32).at[starts].max(iota_n, mode="drop")
-    m_off = jnp.zeros((s_cap,), _I32).at[starts].max(starts, mode="drop")
-    pair_sg = jax.lax.cummax(m_id)  # depth-sorted gaussian index per slot
-    seg_off = jax.lax.cummax(m_off)
+    # ``cum`` is the loop's alive-gated cumsum (un-gated by g1); clamping at
+    # pairs_k makes it EXACTLY the inclusive cumsum of the slice's own
+    # counts (for i >= g1 the slice count is 0 and cum >= pairs_k), so the
+    # scatter-free windowed decode (ops/binning.expand_segments) replaces
+    # the two N-scale marker scatters this loop used to pay per slice. The
+    # searchsorted inside lands at g0's neighborhood on its own — the
+    # decode is inherently windowed to the slice — and the owning
+    # gaussian's original id + rect words ride the same windowed one-hot,
+    # so no per-slice narrow gathers exist either.
+    cum_slice = jnp.minimum(cum, pairs_k)
+    _, seg_off, orig_p, w0p, w1p = B.expand_segments(
+        cnt_k, s_cap, cum=cum_slice, window=2048,
+        values=(order, w0s, w1s),
+    )
     slot = jax.lax.broadcasted_iota(_I32, (s_cap, 1), 0).squeeze(-1)
     local = slot - seg_off
 
-    rows = table[pair_sg]  # [s_cap, 16] f32 — feats + rect words + orig id
-    w0p = jax.lax.bitcast_convert_type(rows[:, 13], _I32)
-    w1p = jax.lax.bitcast_convert_type(rows[:, 14], _I32)
     w = jnp.maximum(w1p & mskx, 1)
     tx_p = (w0p & mskx) + local % w
     ty_p = ((w0p >> bxw) & msky) + local // w
     valid = slot < pairs_k
     key = jnp.where(valid, ty_p * ntxg + tx_p, num_tiles)
-    vals = jnp.where(
-        valid, jax.lax.bitcast_convert_type(rows[:, 15], _I32), n
-    )  # ORIGINAL gaussian id per pair
-    feats13 = jnp.where(valid[:, None], rows[:, :13], 0.0)
+    vals = jnp.where(valid, orig_p, n)  # ORIGINAL gaussian id per pair
+    # Invalid slots carry the sentinel row N — all-zero features.
+    feats13 = feat[vals][:, :13]
 
-    # Per-tile counts: the separable MXU histogram over this slice's
-    # gaussians (ops/binning.py step 3).
-    ntxp = -(-ntxg // 128) * 128
-    ntyp = -(-ntyg // 8) * 8
-    txc = jax.lax.broadcasted_iota(_I32, (1, ntxp), 1)
-    tyc = jax.lax.broadcasted_iota(_I32, (1, ntyp), 1)
-    keep = eff[:, None]
-    xm = ((txc >= tx0[:, None]) & (txc < (tx0 + ntx)[:, None]) & keep).astype(
-        jnp.bfloat16
-    )
-    ym = ((tyc >= ty0[:, None]) & (tyc < (ty0 + nty)[:, None]) & keep).astype(
-        jnp.bfloat16
-    )
+    # Per-tile counts: the separable MXU histogram over this slice's PAIRS
+    # (each valid pair contributes exactly one (tx, ty) tile — identical to
+    # the per-gaussian rect histogram, but P-scale instead of N-scale).
+    txc = jax.lax.broadcasted_iota(_I32, (1, ntxg), 1)
+    tyc = jax.lax.broadcasted_iota(_I32, (1, ntyg), 1)
+    xm = ((txc == tx_p[:, None]) & valid[:, None]).astype(jnp.bfloat16)
+    ym = (tyc == ty_p[:, None]).astype(jnp.bfloat16)
     counts2d = jax.lax.dot_general(
         ym, xm,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=_F32,
     )
-    tile_count = counts2d[:ntyg, :ntxg].reshape(num_tiles).astype(_I32)
+    tile_count = counts2d.reshape(num_tiles).astype(_I32)
 
     # Alignment pads as explicit sort keys (stable sort keeps them after
     # each tile's real pairs; they carry the zero feature row).
@@ -247,15 +248,18 @@ def _bin_slice(table, cnt_k, in_slice, cum, pairs_k, tx0, ty0, ntx, nty,
     return pair_feat, pair_ids, tile_start, tile_count
 
 
-def _forward_impl(feat, order, width, height, cfg):
+def _forward_impl(feat, order, w0s, w1s, width, height, cfg):
     """Run the slice loop. Returns (color, trans, residual dict).
 
-    ``feat``: [N+1, 16] f32 rows from :func:`pack_features_aux` — cols
-    0-12 the raster features, col 13/14 the packed rect words, col 15 the
-    original id. Everything the loop needs per gaussian rides ONE [N, 16]
-    row gather into the depth-sorted ``table`` (narrow [N] gathers by the
-    permutation cost ~60 ms each at 5M rows on the v5e; five of them used
-    to be 312 ms of a 420 ms forward).
+    ``feat``: [N+1, 16] f32 rows in ORIGINAL id order (ops/binning
+    ``pack_features``; cols 13-15 zero, row N the sentinel). ``order`` /
+    ``w0s`` / ``w1s``: the depth permutation and packed rect words, all
+    [N] i32 in DEPTH order — carried as value operands of the one 4-operand
+    depth sort (:func:`_prepare_sliced`). Nothing else is permuted at N
+    scale: a [N, 16] row gather by the permutation costs ~93 ms at 5M rows
+    on the v5e (~19 ns/row, latency-bound), while riding the sort costs
+    ~10 ms/operand — and per-pair lookups come from the windowed decode's
+    one-hot selects (ops/binning.expand_segments), not gathers.
     """
     from gsplat_tpu.kernels.raster_fwd import forward_tiles_carry
 
@@ -271,18 +275,12 @@ def _forward_impl(feat, order, width, height, cfg):
     mskx = (1 << bxw) - 1
     msky = (1 << byw) - 1
 
-    # Depth-sorted row table: cols 0-12 = the 13 live feature columns, col
-    # 13/14 = the packed rect words, col 15 = the ORIGINAL gaussian id.
-    table = feat[:-1][order]
-
     # Unpack the [N]-scale depth-sorted rect/count columns (elementwise).
-    w0 = jax.lax.bitcast_convert_type(table[:, 13], _I32)
-    w1 = jax.lax.bitcast_convert_type(table[:, 14], _I32)
-    tx0 = w0 & mskx
-    ty0 = (w0 >> bxw) & msky
-    ntx = w1 & mskx
-    nty = (w1 >> bxw) & msky
-    active = (w1 >> (bxw + byw)) & 1
+    tx0 = w0s & mskx
+    ty0 = (w0s >> bxw) & msky
+    ntx = w1s & mskx
+    nty = (w1s >> bxw) & msky
+    active = (w1s >> (bxw + byw)) & 1
     cnt = jnp.where(active == 1, ntx * nty, 0)
 
     accum0 = jnp.zeros((num_tiles, 8, npix), _F32).at[:, 3, :].set(1.0)
@@ -328,7 +326,7 @@ def _forward_impl(feat, order, width, height, cfg):
         cnt_k, in_slice = _slice_counts(alive, g1, cnt, iota_n)
 
         pair_feat, pair_ids, tile_start, tile_count = _bin_slice(
-            table, cnt_k, in_slice, cum, pairs_k, tx0, ty0, ntx, nty,
+            feat, order, w0s, w1s, cnt_k, cum, pairs_k,
             bxw, byw, ntxg, ntyg, cfg,
         )
         countc = jnp.where(done, 0, tile_count)
@@ -365,14 +363,14 @@ def _forward_impl(feat, order, width, height, cfg):
     return color.astype(feat.dtype), trans.astype(feat.dtype), out
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _rasterize_sliced(feat, order, width, height, cfg):
-    color, trans, _ = _forward_impl(feat, order, width, height, cfg)
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _rasterize_sliced(feat, order, w0s, w1s, width, height, cfg):
+    color, trans, _ = _forward_impl(feat, order, w0s, w1s, width, height, cfg)
     return color, trans
 
 
-def _fwd(feat, order, width, height, cfg):
-    color, trans, out = _forward_impl(feat, order, width, height, cfg)
+def _fwd(feat, order, w0s, w1s, width, height, cfg):
+    color, trans, out = _forward_impl(feat, order, w0s, w1s, width, height, cfg)
     residuals = (
         feat, order, color, trans,
         out["k"], out["ids"], out["starts"], out["countc"], out["bdone"],
@@ -525,45 +523,33 @@ def _bwd(width, height, cfg, residuals, cotangents):
     d9 = jnp.concatenate([d_acc, jnp.zeros((1, 9), _F32)])
     d_feat = jnp.pad(d9, ((0, 0), (0, feat.shape[1] - 9))).astype(feat.dtype)
 
-    return d_feat, np.zeros((n,), dtype=jax.dtypes.float0)
+    zero_i = np.zeros((n,), dtype=jax.dtypes.float0)
+    return d_feat, zero_i, zero_i, zero_i
 
 
 _rasterize_sliced.defvjp(_fwd, _bwd)
 
 
-def pack_features_aux(
-    prep: Preprocessed, width: int, height: int, ts: int
-) -> jnp.ndarray:
-    """``pack_features`` with the spare columns carrying the slice loop's
-    per-gaussian aux words: col 13 = tx0|ty0<<bxw, col 14 =
-    ntx|nty<<bxw|active bit, col 15 = the ORIGINAL gaussian id (i32
-    bitcast to f32, stop_gradient'ed). The depth-sorted table is then ONE
-    [N, 16] row gather of this array — no separate concat/permute pass.
-    The kernels read only feature columns 0-12, so the aux payload is
-    inert in the compositing math; the sentinel row stays all-zero."""
-    ntxg, ntyg, _ = _grid(width, height, ts)
+def _prepare_sliced(prep: Preprocessed, ts: int, ntxg: int, ntyg: int):
+    """The depth permutation + depth-ordered rect words the loop consumes.
+
+    ONE stable 4-operand sort carries everything the loop needs at N scale
+    (original id, packed rect words) into depth order — a [N, 16] row
+    gather by the permutation costs ~9x more than the two extra sort
+    operands at 5M rows. Returns (order, w0s, w1s), all [N] i32.
+    """
     bxw, byw = _rect_bits(ntxg, ntyg)
     n = prep.depth.shape[0]
     iota_n = jnp.arange(n, dtype=_I32)
     tx0, ty0, ntx, nty = B.tile_ranges(prep.cull_bbox, ts, ntxg, ntyg)
     w0 = tx0 | (ty0 << bxw)
     w1 = ntx | (nty << bxw) | (prep.active.astype(_I32) << (bxw + byw))
-    aux = jnp.stack([w0, w1, iota_n], axis=1)  # [N, 3] i32
-    auxf = jax.lax.bitcast_convert_type(jax.lax.stop_gradient(aux), _F32)
-    rows = jnp.concatenate(
-        [B.pack_feature_rows(prep)[:, :13].astype(_F32), auxf], axis=1
-    )
-    return jnp.concatenate([rows, jnp.zeros((1, 16), _F32)], axis=0)
-
-
-def _prepare_sliced(prep: Preprocessed, ts: int, ntxg: int, ntyg: int):
-    """The depth permutation the slice loop consumes."""
-    n = prep.depth.shape[0]
-    iota_n = jnp.arange(n, dtype=_I32)
     dkey = _monotone_depth_key(prep.depth)
     # Stable 1-key sort: ties keep id order -> (depth, id) lexicographic,
     # the reference's stable argsort semantics.
-    return jax.lax.sort((dkey, iota_n), num_keys=1, is_stable=True)[1]
+    return jax.lax.sort(
+        (dkey, iota_n, w0, w1), num_keys=1, is_stable=True
+    )[1:4]
 
 
 def render_sliced_tiles(
@@ -576,12 +562,15 @@ def render_sliced_tiles(
     """Depth-sliced render of one view at tile level.
 
     Args: prep — the per-gaussian preprocess; feat — [N+1, 16] packed
-    features WITH aux columns (:func:`pack_features_aux`; the
+    features in original id order (ops/binning ``pack_features``; the
     differentiable surface). Returns (color [T, npix, 3], trans [T, npix])
     for the full tile grid. Requires the Pallas path (TPU or interpreter
     mode).
     """
     ts = cfg.tile_size
     ntxg, ntyg, _ = _grid(width, height, ts)
-    order = _prepare_sliced(prep, ts, ntxg, ntyg)
-    return _rasterize_sliced(feat, order, width, height, cfg)
+    order, w0s, w1s = _prepare_sliced(prep, ts, ntxg, ntyg)
+    return _rasterize_sliced(
+        feat, order, jax.lax.stop_gradient(w0s), jax.lax.stop_gradient(w1s),
+        width, height, cfg,
+    )

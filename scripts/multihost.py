@@ -61,6 +61,9 @@ def _flags():
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--gaussians", type=int, default=1_000_000)
+    ap.add_argument("--shift", type=float, default=0.0,
+                    help="scale shift of the bench scene (1.9 = real "
+                         "MipNeRF-360 pair density at 5M gaussians)")
     ap.add_argument("--max-pairs", type=int, default=1 << 21)
     ap.add_argument("--steps", type=int, default=8, help="timed steps")
     return ap.parse_args()
@@ -126,7 +129,18 @@ def virtual_mode(args):
 
 
 def model_mode(args):
-    """Amdahl decomposition of the sharded step, measured on one real chip."""
+    """Amdahl decomposition of the sharded step, measured on one real chip.
+
+    Measures the REAL per-shard computation of ``parallel/shard._shard_bin``
+    at each tile factor: sharded preprocess + feature pack + the
+    gaussian-axis-sharded global histogram (N/tp work), then the replicated
+    O(N) binning prologue and the per-shard P-scale binning WITH the fused
+    sort-carried feature slab and the ``tile_count_override`` fast path —
+    exactly the graph the sharded step runs, minus the collectives (noted
+    in the output). Per-shard pair capacity is demand-sized at 1.5x like
+    ``ParallelTrainer.check_capacity`` does."""
+    import dataclasses as _dc
+
     import jax
     import jax.numpy as jnp
 
@@ -134,7 +148,7 @@ def model_mode(args):
     from gsplat_tpu import RasterConfig
     from gsplat_tpu.ops import binning
     from gsplat_tpu.ops.camera import CameraArrays
-    from gsplat_tpu.parallel.shard import _factor_stride, _make_layout
+    from gsplat_tpu.parallel.shard import _make_layout
     from gsplat_tpu.render.pipeline import preprocess_traced
     from gsplat_tpu.kernels.raster import rasterize_tiles, _backward_impl
     from timing import timed
@@ -143,7 +157,7 @@ def model_mode(args):
     cfg = RasterConfig(tile_size=32, chunk_size=32, max_pairs=args.max_pairs,
                        early_stop_transmittance=1e-4,
                        use_pallas=jax.default_backend() == "tpu")
-    model = build_scene(args.gaussians)
+    model = build_scene(args.gaussians, args.shift)
     cam = CameraArrays.from_params(_camera(width, height))
     n = args.gaussians
 
@@ -156,31 +170,60 @@ def model_mode(args):
     def net(t):
         return max(t - floor, 0.0)
 
+    iters = args.steps
+
     points = []
     for tp in [int(x) for x in args.devices.split(",")]:
         lay = _make_layout(width, height, cfg.tile_size, tp)
         n_local = -(-n // tp)
-        # Per-shard pair capacity scales with the shard's tile share (the
-        # sharded step sizes its own buffer; P-scale costs must shrink with
-        # tp for the measurement to reflect the real design).
-        local_cap = max(args.max_pairs // tp, 1 << 16)
-        local_cap -= local_cap % cfg.pair_block
-        import dataclasses as _dc
 
+        # Per-shard preprocess + pack + global-grid histogram of the
+        # device's own N/tp gaussian slice (the sharded part of the
+        # prologue; its [ny, nx] f32 output is psum'd over the mesh).
+        sl = jax.tree.map(lambda x: x[:n_local], model)
+
+        def prep_shard(m, c):
+            p = preprocess_traced(m, c, width, height, cfg)
+            rows = binning.pack_feature_rows(p)
+            g_rects = binning.tile_ranges(
+                p.cull_bbox, cfg.tile_size, lay.ntx_g, lay.nty_g
+            )
+            keep = p.active & (g_rects[2] > 0) & (g_rects[3] > 0)
+            c2 = binning.coverage_histogram(
+                g_rects, keep, lay.ntx_g, lay.nty_g
+            )
+            return p, rows, c2
+
+        t_prep, _ = timed(jax.jit(prep_shard), sl, cam, iters=iters)
+
+        # Full-N arrays the all-gather would deliver.
+        prep, feat_rows, counts2d_g = jax.jit(prep_shard)(model, cam)
+        ox, oy = 0, 0
+        c2 = jnp.pad(counts2d_g, (
+            (0, lay.sy * lay.nty_l - lay.nty_g),
+            (0, lay.sx * lay.ntx_l - lay.ntx_g),
+        ))
+        tile_count_o = (
+            c2.reshape(lay.nty_l, lay.sy, lay.ntx_l, lay.sx)[:, oy, :, ox]
+            .reshape(lay.tiles_local).astype(jnp.int32)
+        )
+
+        # Demand-size the per-shard capacity (ParallelTrainer auto_pairs).
+        def demand_probe(p):
+            rects = binning.strided_tile_ranges(
+                p.cull_bbox, cfg.tile_size, lay.ntx_g, lay.nty_g,
+                lay.sx, lay.sy, 0, 0,
+            )
+            cnt = jnp.where(p.active, rects[2] * rects[3], 0)
+            return jnp.sum(cnt)
+
+        demand = int(jax.jit(demand_probe)(prep))
+        local_cap = max(int(demand * 1.5) // 128 * 128, 1 << 16)
         shard_cfg = _dc.replace(cfg, max_pairs=local_cap)
 
-        # Per-shard preprocess: N/tp gaussians.
-        sl = jax.tree.map(lambda x: x[:n_local], model)
-        prep_fn = jax.jit(lambda m, c: preprocess_traced(m, c, width, height, cfg))
-        t_prep, prep_l = timed(prep_fn, sl, cam)
-
-        # Full-N preprocess output feeds binning (the gathered arrays).
-        prep = prep_fn(model, cam) if tp > 1 else prep_l
-
-        # Per-shard binning: strided rects on the local grid. The O(N)
-        # sortless prologue inside bin_rects is the replicated part; the
-        # pair-scale stages shrink with tp.
-        def bin_shard(p):
+        # The real per-shard binning: strided rects, fused feature slab,
+        # histogram override (exactly _shard_bin's bin_rects call).
+        def bin_shard(p, rows, tco):
             rects = binning.strided_tile_ranges(
                 p.cull_bbox, cfg.tile_size, lay.ntx_g, lay.nty_g,
                 lay.sx, lay.sy, 0, 0,
@@ -188,20 +231,20 @@ def model_mode(args):
             return binning.bin_rects(
                 p.depth, p.active, rects, lay.ntx_l, lay.nty_l,
                 shard_cfg.max_pairs, align=shard_cfg.pair_block,
+                feat_rows=jax.lax.stop_gradient(rows),
+                tile_count_override=tco,
             )
 
-        t_bin, bins = timed(jax.jit(bin_shard), prep)
+        t_bin, (bins, pair_feat) = timed(
+            jax.jit(bin_shard), prep, feat_rows, tile_count_o, iters=iters
+        )
 
-        # Replicated-only part: the O(N) sortless prologue (elementwise
-        # rects/counts, the total-demand reduction, the MXU histogram
-        # masks) — isolated by running the same binning with a near-zero
-        # pair capacity AND every gaussian inactive: zero counts collapse
-        # every P-scale stage (markers, row gather, pair sort) to noise
-        # while keeping total <= cap, so the lax.cond takes the same
-        # no-overflow fast path the headroom-sized real binning takes
-        # (binning with a tiny capacity but live counts would instead
-        # trigger the 63-step overflow search the real path skips).
-        def prologue_only(p):
+        # Replicated-only part: the O(N) prologue (rects/counts/cumsum/
+        # dkey + the windowed segment decode) — isolated by running the
+        # same binning with every gaussian inactive: zero counts collapse
+        # every P-scale stage to noise while keeping total <= cap, so the
+        # same no-overflow fast path (and the override branch) is taken.
+        def prologue_only(p, rows):
             rects = binning.strided_tile_ranges(
                 p.cull_bbox, cfg.tile_size, lay.ntx_g, lay.nty_g,
                 lay.sx, lay.sy, 0, 0,
@@ -209,22 +252,31 @@ def model_mode(args):
             return binning.bin_rects(
                 p.depth, jnp.zeros_like(p.active), rects, lay.ntx_l,
                 lay.nty_l, cfg.pair_block, align=cfg.pair_block,
+                feat_rows=jax.lax.stop_gradient(rows),
+                tile_count_override=jnp.zeros(
+                    (lay.tiles_local,), jnp.int32
+                ),
             )
 
-        t_sort, _ = timed(jax.jit(prologue_only), prep)
+        t_sort, _ = timed(jax.jit(prologue_only), prep, feat_rows, iters=iters)
 
-        # Per-shard raster fwd+bwd over the local tiles.
+        # Per-shard raster fwd+bwd over the local tiles, streaming the
+        # fused slab (pair_feat) like the sharded step does.
         feat = jax.jit(binning.pack_features)(prep)
         li = np.arange(lay.tiles_local, dtype=np.int32)
         tile_ids = jnp.asarray(
             (li // lay.ntx_l * lay.sy) * lay.ntx_g + (li % lay.ntx_l) * lay.sx,
             jnp.int32,
         )
+        pair_feat_i32 = jnp.asarray(
+            jax.lax.bitcast_convert_type(pair_feat, jnp.int32)
+        )
 
-        fwd = jax.jit(lambda f, b: rasterize_tiles(
+        fwd = jax.jit(lambda f, b, pf: rasterize_tiles(
             f, b.pair_gaussian, b.tile_start, b.tile_count, tile_ids,
-            b.gaussian_counts, lay.ntx_g, shard_cfg))
-        t_fwd, (color, trans) = timed(fwd, feat, bins)
+            b.gaussian_counts, lay.ntx_g, shard_cfg,
+            pair_feat_i32=pf, width=width, height=height))
+        t_fwd, (color, trans) = timed(fwd, feat, bins, pair_feat_i32, iters=iters)
 
         g_c = jnp.ones_like(color) * 0.1
         g_t = jnp.zeros_like(trans)
@@ -232,7 +284,7 @@ def model_mode(args):
         bwd = jax.jit(lambda f, b, c, t: _backward_impl(
             f, b.pair_gaussian, b.tile_start, b.tile_count, tile_ids,
             c, t, g_c, g_t, blocks_done, b.gaussian_counts, lay.ntx_g, shard_cfg))
-        t_bwd, _ = timed(bwd, feat, bins, color, trans)
+        t_bwd, _ = timed(bwd, feat, bins, color, trans, iters=iters)
 
         num_pairs = int(bins.num_pairs)
         sort_net = net(t_sort)
@@ -248,6 +300,7 @@ def model_mode(args):
             "shard_bwd_sec": round(net(t_bwd), 4),
             "proj_step_sec": round(step, 4),
             "local_pairs": num_pairs,
+            "local_capacity": local_cap,
             "serial_fraction": round(sort_net / step, 4),
             "proj_pixels_per_sec": round(width * height / step / 1e6, 2),
             # T1 / (tp * T_tp): whole-frame speedup per chip count

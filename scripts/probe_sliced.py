@@ -83,8 +83,9 @@ def main():
         import math
 
         from gsplat_tpu.render.pipeline import preprocess_traced
+        from gsplat_tpu.ops import binning as B
         from gsplat_tpu.render.sliced import (
-            _forward_impl, _grid, _prepare_sliced, pack_features_aux,
+            _forward_impl, _grid, _prepare_sliced,
         )
 
         s = int(args.slices.split(",")[0])
@@ -92,13 +93,15 @@ def main():
         prep = jax.jit(
             lambda m, cm: preprocess_traced(m, cm, WIDTH, HEIGHT, c)
         )(model, cam)
-        feat = pack_features_aux(prep, WIDTH, HEIGHT, 32)
+        feat = B.pack_features(prep).astype(jnp.float32)
         n = args.n
         ntxg, ntyg, _nt = _grid(WIDTH, HEIGHT, 32)
-        order = _prepare_sliced(prep, 32, ntxg, ntyg)
+        order, w0s, w1s = _prepare_sliced(prep, 32, ntxg, ntyg)
 
-        fwd = jax.jit(lambda f, o: _forward_impl(f, o, WIDTH, HEIGHT, c)[2])
-        out = fwd(feat, order)
+        fwd = jax.jit(
+            lambda f, o, a, b: _forward_impl(f, o, a, b, WIDTH, HEIGHT, c)[2]
+        )
+        out = fwd(feat, order, w0s, w1s)
         k = int(out["k"])
         k_max = math.ceil(c.max_pairs / s)
         log(f"diag slice_pairs={s}: slices executed {k}/{k_max}, "
@@ -251,20 +254,17 @@ def _fwd_stage_probe(args, model, cam, cfg):
     t_rp, _ = timed(jax.jit(rect_perm), prep, order, iters=it)
     log(f"rects+counts permute (N)  {t_rp*1e3:8.1f} ms  [legacy cost]")
 
-    from gsplat_tpu.render.sliced import _prepare_sliced, pack_features_aux
+    from gsplat_tpu.render.sliced import _prepare_sliced
 
-    t_aux, order2 = timed(
+    t_aux, sorted3 = timed(
         jax.jit(lambda p: _prepare_sliced(p, 32, ntxg, ntyg)), prep, iters=it)
-    log(f"prepare (depth sort)      {t_aux*1e3:8.1f} ms")
+    log(f"prepare (4-op depth sort) {t_aux*1e3:8.1f} ms")
 
-    t_pka, feat_a = timed(
-        jax.jit(lambda p: pack_features_aux(p, WIDTH, HEIGHT, 32)),
-        prep, iters=it)
-    log(f"pack_features_aux (N)     {t_pka*1e3:8.1f} ms")
-
-    fwd = jax.jit(lambda f, o: _forward_impl(f, o, WIDTH, HEIGHT, c)[:2])
-    t_loop, _ = timed(fwd, feat_a, order2, iters=it)
-    log(f"slice loop (incl table)   {t_loop*1e3:8.1f} ms")
+    fwd = jax.jit(
+        lambda f, o, a, b: _forward_impl(f, o, a, b, WIDTH, HEIGHT, c)[:2]
+    )
+    t_loop, _ = timed(fwd, jnp.asarray(feat, jnp.float32), *sorted3, iters=it)
+    log(f"slice loop                {t_loop*1e3:8.1f} ms")
 
     fwd_full = jax.jit(lambda m, cm: render_traced(m, cm, WIDTH, HEIGHT, c)[0])
     t_all, _ = timed(fwd_full, model, cam, iters=it)
@@ -282,7 +282,7 @@ def _bwd_stage_probe(args, model, cam, cfg):
     from gsplat_tpu.ops import binning as B
     from gsplat_tpu.render.pipeline import preprocess_traced
     from gsplat_tpu.render.sliced import (
-        _forward_impl, _grid, _prepare_sliced, _sizes, pack_features_aux,
+        _forward_impl, _grid, _prepare_sliced, _sizes,
     )
 
     s = int(args.slices.split(",")[0])
@@ -295,15 +295,19 @@ def _bwd_stage_probe(args, model, cam, cfg):
     prep = jax.jit(lambda m, cm: preprocess_traced(m, cm, WIDTH, HEIGHT, c))(
         model, cam
     )
-    feat = pack_features_aux(prep, WIDTH, HEIGHT, ts)
+    from gsplat_tpu.ops import binning as _B
+
+    feat = _B.pack_features(prep).astype(jnp.float32)
     n = args.n
     iota = jnp.arange(n, dtype=jnp.int32)
-    order = _prepare_sliced(prep, ts, ntxg, ntyg)
+    order, w0s, w1s = _prepare_sliced(prep, ts, ntxg, ntyg)
     tx0, ty0, ntx, nty = B.tile_ranges(prep.cull_bbox, ts, ntxg, ntyg)
     counts = jnp.where(prep.active, ntx * nty, 0).astype(jnp.int32)
 
-    fwd = jax.jit(lambda f, o: _forward_impl(f, o, WIDTH, HEIGHT, c))
-    t_fwd, (color, trans, out) = timed(fwd, feat, order, iters=it)
+    fwd = jax.jit(
+        lambda f, o, a, b: _forward_impl(f, o, a, b, WIDTH, HEIGHT, c)
+    )
+    t_fwd, (color, trans, out) = timed(fwd, feat, order, w0s, w1s, iters=it)
     log(f"fwd loop total        {t_fwd*1e3:8.1f} ms  (k={int(out['k'])})")
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)

@@ -284,3 +284,48 @@ def test_fused_pair_feat_matches_gather():
         np.testing.assert_array_equal(
             np.asarray(pair_feat), np.asarray(ref), err_msg=str(seed)
         )
+
+
+def test_expand_segments_matches_reference():
+    """The scatter-free windowed decode vs a numpy reference, across
+    empty-heavy patterns, tiny windows (forced scatter fallback), and
+    slots beyond the emitted pairs."""
+    for seed in range(8):
+        rng = np.random.default_rng(300 + seed)
+        n = int(rng.integers(5, 400))
+        # Long empty runs stress the window-overflow detection.
+        counts = np.where(
+            rng.uniform(size=n) < rng.uniform(0.05, 0.9),
+            rng.integers(1, 6, n),
+            0,
+        ).astype(np.int32)
+        total = int(counts.sum())
+        num_slots = max(int(total * rng.uniform(0.9, 1.6)) + 1, 8)
+        if num_slots < total:
+            continue  # expand_segments assumes counts already capacity-clipped
+
+        offsets = np.cumsum(counts) - counts
+        gid_ref = np.zeros(num_slots, np.int64)
+        off_ref = np.zeros(num_slots, np.int64)
+        for i in range(n):
+            for k in range(counts[i]):
+                gid_ref[offsets[i] + k] = i
+                off_ref[offsets[i] + k] = offsets[i]
+
+        for window in (None, 128, 1 << 20):
+            gid, seg_off = binning.expand_segments(
+                jnp.asarray(counts), num_slots, window=window
+            )
+            gid = np.asarray(gid)
+            seg_off = np.asarray(seg_off)
+            # Valid slots must match exactly; slots >= total are masked by
+            # callers but must stay in range for the table row gather.
+            np.testing.assert_array_equal(gid[:total], gid_ref[:total])
+            np.testing.assert_array_equal(seg_off[:total], off_ref[:total])
+            assert gid.min() >= 0 and gid.max() < n, (seed, window)
+
+
+def test_expand_segments_all_empty():
+    gid, seg_off = binning.expand_segments(jnp.zeros((17,), jnp.int32), 64)
+    assert gid.shape == (64,) and seg_off.shape == (64,)
+    assert int(np.asarray(gid).max()) < 17

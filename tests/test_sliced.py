@@ -87,9 +87,7 @@ def test_sliced_early_stop_matches_and_exits_early():
 
     from gsplat_tpu.ops import binning as B
     from gsplat_tpu.render.pipeline import preprocess_traced
-    from gsplat_tpu.render.sliced import (
-        _forward_impl, _prepare_sliced, pack_features_aux,
-    )
+    from gsplat_tpu.render.sliced import _forward_impl, _prepare_sliced
 
     model, rng = _model(n=400, opaque=True)
     cam = CameraArrays.from_params(make_camera())
@@ -116,10 +114,10 @@ def test_sliced_early_stop_matches_and_exits_early():
 
     # the loop terminates before k_max on a finite scene
     prep = preprocess_traced(model, cam, 64, 48, cfg)
-    feat = pack_features_aux(prep, 64, 48, 16)
+    feat = B.pack_features(prep).astype(jnp.float32)
     n = model.num_gaussians
-    order = _prepare_sliced(prep, 16, 4, 3)
-    _, _, out = _forward_impl(feat, order, 64, 48, cfg)
+    order, w0s, w1s = _prepare_sliced(prep, 16, 4, 3)
+    _, _, out = _forward_impl(feat, order, w0s, w1s, 64, 48, cfg)
     k_max = math.ceil(cfg.max_pairs / cfg.slice_pairs)
     assert int(out["k"]) < k_max
     # every emitted slice's pairs were consumed in depth order
