@@ -41,6 +41,28 @@ import time
 
 import numpy as np
 
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache (default on; GSPLAT_NO_COMPILE_CACHE
+    disables). The tunneled-TPU compiles dominate this bench's wall-clock
+    (BENCH_r04: ~930 s spent, ~6 s of it measured steps), and the driver
+    runs `python bench.py` on the same host the build self-runs on — a warm
+    cache turns every repeat compile into a disk read."""
+    if os.environ.get("GSPLAT_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    cache_dir = os.environ.get(
+        "GSPLAT_COMPILE_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # noqa: BLE001 — cache is an optimization only
+        pass
+
 WIDTH, HEIGHT = 1920, 1080
 NUM_GAUSSIANS = 1_000_000
 BASELINE_FPS = 1.0 / 300.0  # reference: ~5 min per forward-only frame
@@ -310,11 +332,16 @@ def synthetic_bench(args):
             return False
         return True
 
+    # Extras run in CLAIM-PRIORITY order, each gated on the remaining
+    # wall-clock budget (reserves calibrated from the BENCH_r04 driver run:
+    # on a cold compile cache the real-density point costs ~450 s including
+    # its two tunnel compiles, the exact-mode variant ~130 s, each sweep
+    # point ~70 s; with the persistent cache warm each costs seconds).
     # Real-MipNeRF-360-density point FIRST (5M gaussians, ~40M pairs — the
     # reference's own workload class and the round's key claim): tighter
     # 1.1x headroom (the scene is fixed and P-scale stages pay linearly for
-    # slack), production early-stop mode and exact reference semantics.
-    if fits("real_density", 360.0):
+    # slack), production early-stop mode, then exact reference semantics.
+    if fits("real_density", 420.0):
         m = build_scene(REAL_DENSITY_N, REAL_DENSITY_SHIFT)
         try:
             cap, dem = sized_capacity(m, cam, headroom=1.1)
@@ -334,6 +361,12 @@ def synthetic_bench(args):
                 "sec_per_frame": round(el, 4),
             }
             emit(result)
+            if fits("real_density.exact_mode", 150.0):
+                el_exact, _ = time_fwd_bwd(
+                    m, cam, target, make_cfg(cap, 0.0), iters=ITERS[2]
+                )
+                extra["real_density"]["exact_mode_fps"] = round(1.0 / el_exact, 3)
+                emit(result)
             if fits("real_density.single_sort", 170.0):
                 # The round-3 production config (single sort + compacted
                 # reduction), for comparison.
@@ -342,24 +375,30 @@ def synthetic_bench(args):
                     iters=ITERS[2],
                 )
                 extra["real_density"]["single_sort_fps"] = round(1.0 / el_ss, 3)
-                emit(result)
-            if fits("real_density.exact_mode", 120.0):
-                el_exact, _ = time_fwd_bwd(
-                    m, cam, target, make_cfg(cap, 0.0), iters=ITERS[2]
-                )
-                extra["real_density"]["exact_mode_fps"] = round(1.0 / el_exact, 3)
         except Exception as exc:
             extra["real_density"] = {"error": type(exc).__name__}
         del m
         emit(result)
 
-    # The CUDA original's early-termination heuristic (T < 1e-4), for
-    # comparison; it only pays off at heavier pair densities.
-    if fits("early_stop", 70.0):
-        el_es, _ = time_fwd_bwd(
-            model, cam, target, make_cfg(max_pairs, 1e-4), iters=ITERS[0]
-        )
-        extra["early_stop_fps"] = round(1.0 / el_es, 3)
+    # 4K (3840x2160) point on the headline scene: per-pair fixed costs
+    # amortize over more covered pixels, so Mpix/s improves with
+    # resolution (README §Performance).
+    if fits("res_4k", 110.0):
+        try:
+            w4, h4 = RES_4K
+            cam4 = CameraArrays.from_params(bench_camera(w4, h4))
+            t4 = jnp.zeros((h4, w4, 3), jnp.float32) + 0.25
+            cap4, dem4 = sized_capacity(model, cam4, width=w4, height=h4)
+            el4, _ = time_fwd_bwd(model, cam4, t4, make_cfg(cap4, 0.0), iters=ITERS[3])
+            extra["res_4k"] = {
+                "width": w4, "height": h4,
+                "pair_demand": dem4,
+                "fps": round(1.0 / el4, 3),
+                "sec_per_frame": round(el4, 4),
+                "mpixels_per_sec": round(w4 * h4 / el4 / 1e6, 2),
+            }
+        except Exception as exc:
+            extra["res_4k"] = {"error": type(exc).__name__}
         emit(result)
 
     # Pair-density sweep: grow the splats, re-size the pair budget to
@@ -388,25 +427,14 @@ def synthetic_bench(args):
         )
         emit(result)
 
-    # 4K (3840x2160) point on the headline scene: per-pair fixed costs
-    # amortize over more covered pixels, so Mpix/s improves with
-    # resolution (README §Performance).
-    if fits("res_4k", 90.0):
-        try:
-            w4, h4 = RES_4K
-            cam4 = CameraArrays.from_params(bench_camera(w4, h4))
-            t4 = jnp.zeros((h4, w4, 3), jnp.float32) + 0.25
-            cap4, dem4 = sized_capacity(model, cam4, width=w4, height=h4)
-            el4, _ = time_fwd_bwd(model, cam4, t4, make_cfg(cap4, 0.0), iters=ITERS[3])
-            extra["res_4k"] = {
-                "width": w4, "height": h4,
-                "pair_demand": dem4,
-                "fps": round(1.0 / el4, 3),
-                "sec_per_frame": round(el4, 4),
-                "mpixels_per_sec": round(w4 * h4 / el4 / 1e6, 2),
-            }
-        except Exception as exc:
-            extra["res_4k"] = {"error": type(exc).__name__}
+    # The CUDA original's early-termination heuristic (T < 1e-4) on the
+    # headline scene, for comparison; it only pays off at heavier pair
+    # densities.
+    if fits("early_stop", 70.0):
+        el_es, _ = time_fwd_bwd(
+            model, cam, target, make_cfg(max_pairs, 1e-4), iters=ITERS[0]
+        )
+        extra["early_stop_fps"] = round(1.0 / el_es, 3)
 
     budget["spent_s"] = round(time.monotonic() - _BENCH_T0[0], 1)
     return result
@@ -636,6 +664,7 @@ def main():
         else "real_scene_fwd+bwd_frames_per_sec_per_chip" if args.scene
         else "1080p_fwd+bwd_frames_per_sec_per_chip"
     )
+    _enable_compile_cache()
     _device_watchdog(metric)
     _provisional_artifact_timer(
         metric, float(os.environ.get("GSPLAT_BENCH_PROVISIONAL_S", "420"))

@@ -160,18 +160,21 @@ def _slice_counts(alive, g1, cnt, iota_n):
 
 
 def _bin_slice(feat, order, w0s, w1s, cnt_k, cum, pairs_k,
-               bxw, byw, ntxg, ntyg, cfg):
+               bxw, byw, ntxg, ntyg, cfg, decode_window=2048):
     """Build one slice's sorted pair buffer + dense feature slab.
 
     ``feat``: the [N+1, 16] f32 feature rows in ORIGINAL id order (row N
     the zero sentinel); ``order``/``w0s``/``w1s``: the depth-sorted
     original-id permutation and rect words (values of the 4-operand depth
-    sort — nothing is ever permuted at N scale outside that sort).
+    sort — nothing is ever permuted at N scale outside that sort). These
+    four arrays may be a contiguous WINDOW of the sorted axis rather than
+    the full length (the loop's window fast path): everything here is
+    position-relative except the original ids, which ``order`` carries.
 
     Returns (pair_feat [nblk_s, 16, align], pair_ids [s_store] i32 —
     ORIGINAL gaussian id per slot, sentinel N — tile_start [T],
     tile_count [T] true counts)."""
-    n = cnt_k.shape[0]
+    n = feat.shape[0] - 1  # sentinel id = the zero feature row
     num_tiles = ntxg * ntyg
     align, s_cap, _, padcap, p_buf, nblk_s, s_store = _sizes(cfg, num_tiles)
     mskx = (1 << bxw) - 1
@@ -191,7 +194,7 @@ def _bin_slice(feat, order, w0s, w1s, cnt_k, cum, pairs_k,
     # so no per-slice narrow gathers exist either.
     cum_slice = jnp.minimum(cum, pairs_k)
     _, seg_off, orig_p, w0p, w1p = B.expand_segments(
-        cnt_k, s_cap, cum=cum_slice, window=2048,
+        cnt_k, s_cap, cum=cum_slice, window=decode_window,
         values=(order, w0s, w1s),
     )
     slot = jax.lax.broadcasted_iota(_I32, (s_cap, 1), 0).squeeze(-1)
@@ -315,20 +318,74 @@ def _forward_impl(feat, order, w0s, w1s, width, height, cfg):
             go = go & jnp.logical_not(jnp.all(c["done"]))
         return go
 
-    def body(c):
-        k, g0, done = c["k"], c["g0"], c["done"]
-        alive = _alive_mask(done, g0, iota_n, tx0, ty0, ntx, nty, ntxg, ntyg, es)
-        cnt_k0 = jnp.where(alive, cnt, 0)
+    # Window fast path: one slice consumes a CONTIGUOUS run of the
+    # depth-sorted axis, and at production densities (>= ~1 pair per alive
+    # gaussian) a run of ``w_ids`` ids supplies >= s_cap pairs — so the
+    # whole per-slice N-scale prologue (the done-cull rect query, the
+    # count cumsum, the decode) runs on a dynamic window of w_ids rows
+    # instead of all N. When the window cannot supply a full slice (late,
+    # heavily-culled slices or the final partial one) an exact full-N
+    # branch runs instead — the emitted pairs are identical either way.
+    w_ids = min(s_cap, n)
+    win_enabled = w_ids < n
+
+    def slice_at(x, start, length):
+        return jax.lax.dynamic_slice_in_dim(x, start, length, axis=0)
+
+    def make_slice(k, g0, done, start, length, iota, o_, a_, b_, tx_, ty_,
+                   nx_, ny_, cnt_, dwin):
+        alive = _alive_mask(done, g0, iota, tx_, ty_, nx_, ny_, ntxg,
+                            ntyg, es)
+        cnt_k0 = jnp.where(alive, cnt_, 0)
         cum = jnp.cumsum(cnt_k0)
         # Largest prefix fitting the slice: first index with cum > s_cap.
-        g1 = jnp.searchsorted(cum, _I32(s_cap), side="right").astype(_I32)
-        pairs_k = jnp.where(g1 > 0, cum[jnp.maximum(g1 - 1, 0)], 0)
-        cnt_k, in_slice = _slice_counts(alive, g1, cnt, iota_n)
-
-        pair_feat, pair_ids, tile_start, tile_count = _bin_slice(
-            feat, order, w0s, w1s, cnt_k, cum, pairs_k,
-            bxw, byw, ntxg, ntyg, cfg,
+        g1r = jnp.searchsorted(cum, _I32(s_cap), side="right").astype(_I32)
+        pairs_k = jnp.where(g1r > 0, cum[jnp.maximum(g1r - 1, 0)], 0)
+        cnt_k, _ = _slice_counts(alive, start + g1r, cnt_, iota)
+        outs = _bin_slice(
+            feat, o_, a_, b_, cnt_k, cum, pairs_k,
+            bxw, byw, ntxg, ntyg, cfg, decode_window=dwin,
         )
+        return outs + (start + g1r, cum[-1])
+
+    def body(c):
+        k, g0, done = c["k"], c["g0"], c["done"]
+
+        def full_branch():
+            return make_slice(
+                k, g0, done, _I32(0), n, iota_n, order, w0s, w1s,
+                tx0, ty0, ntx, nty, cnt, 2048,
+            )[:-1]
+
+        if win_enabled:
+            g0c = jnp.clip(g0, 0, n - w_ids)
+            win = tuple(
+                slice_at(x, g0c, w_ids)
+                for x in (order, w0s, w1s, tx0, ty0, ntx, nty, cnt)
+            )
+            iota_w = g0c + jax.lax.broadcasted_iota(
+                _I32, (w_ids, 1), 0
+            ).squeeze(-1)
+
+            def window_branch():
+                outs = make_slice(
+                    k, g0, done, g0c, w_ids, iota_w, *win, 512,
+                )
+                return outs[:-1]
+
+            # Enough pairs inside the window, or the window already
+            # reaches the end of the sorted axis?
+            def probe():
+                alive = _alive_mask(done, g0, iota_w, win[3], win[4],
+                                    win[5], win[6], ntxg, ntyg, es)
+                return jnp.sum(jnp.where(alive, win[7], 0))
+
+            enough = (g0c + w_ids >= n) | (probe() >= s_cap)
+            pair_feat, pair_ids, tile_start, tile_count, g1 = jax.lax.cond(
+                enough, window_branch, full_branch
+            )
+        else:
+            pair_feat, pair_ids, tile_start, tile_count, g1 = full_branch()
         countc = jnp.where(done, 0, tile_count)
         accum = forward_tiles_carry(
             pair_feat, tile_start, countc, tile_ids, c["accum"], ntxg, cfg,

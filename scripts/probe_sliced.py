@@ -351,14 +351,29 @@ def _bwd_stage_probe(args, model, cam, cfg):
     log(f"per-slice reduction   {t_r*1e3:8.1f} ms")
 
     def alive_cost(d0):
-        from gsplat_tpu.render.sliced import _alive_mask, _slice_counts
-        alive = _alive_mask(d0, out["gb"][0], iota, tx0[order], ty0[order],
-                            ntx[order], nty[order], ntxg, ntyg, 1e-4)
-        cnt_k, _ = _slice_counts(alive, out["gb"][1], counts[order], iota)
+        from gsplat_tpu.render.sliced import (
+            _alive_mask, _rect_bits, _slice_counts,
+        )
+
+        bxw, byw = _rect_bits(ntxg, ntyg)
+        mskx = (1 << bxw) - 1
+        msky = (1 << byw) - 1
+        tx0s = w0s & mskx
+        ty0s = (w0s >> bxw) & msky
+        ntxs = w1s & mskx
+        ntys = (w1s >> bxw) & msky
+        act = (w1s >> (bxw + byw)) & 1
+        cnts = jnp.where(act == 1, ntxs * ntys, 0)
+        alive = _alive_mask(d0, out["gb"][0], iota, tx0s, ty0s,
+                            ntxs, ntys, ntxg, ntyg, 1e-4)
+        cnt_k, _ = _slice_counts(alive, out["gb"][1], cnts, iota)
         return jnp.cumsum(cnt_k)[-1]
 
     t_a, _ = timed(jax.jit(alive_cost), out["dsnap"][0], iters=it)
     log(f"alive+cumsum (N)      {t_a*1e3:8.1f} ms")
+    log(f"composited blocks     {int(np.asarray(out['bdone']).sum())} "
+        f"(slices {int(out['k'])}, pairs "
+        f"{int(np.asarray(out['bdone']).sum()) * align})")
 
 
 if __name__ == "__main__":
