@@ -280,6 +280,29 @@ def _bwd_kernel(
         carry_out_ref[0] = carry[0:2]
 
 
+def sorted_grad_cumsum(ids: jnp.ndarray, rows9: jnp.ndarray):
+    """Sort pair-gradient rows by gaussian id and return (sorted_ids,
+    cum9 [P, 9]) — the inclusive per-column cumsum in sorted order that
+    every segment reduction differences at segment ends.
+
+    Sorting (id, iota) with TWO operands and row-gathering the 9 gradient
+    columns by the permutation beats carrying them as sort value operands:
+    each extra i32/f32 sort operand costs ~8 ms per million rows on the
+    v5e, while one [P, 9] row gather costs ~19 ns/row — at 1M pairs that is
+    ~20 ms of sort traffic replaced by ~19 ms gather+sort total. The
+    permutation is unstable on equal ids; within-segment order only
+    reassociates the f32 cumsum (documented ~1e-5 relative tolerance).
+    """
+    p = ids.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0).squeeze(-1)
+    sorted_ids, perm = jax.lax.sort((ids, iota), num_keys=1, is_stable=False)
+    rows = rows9[perm]  # [P, 9] row gather
+    # Flat per-column cumsums ([P, 9] pads to 128 lanes on TPU — 14x scan
+    # traffic); transpose once, scan 9 dense rows, transpose back.
+    cum9 = jnp.cumsum(rows.T, axis=1).T
+    return sorted_ids, cum9
+
+
 def pack_tile_rows(rgb_tiles: jnp.ndarray, scalar_tiles: jnp.ndarray) -> jnp.ndarray:
     """Pack per-tile rgb [T, npix, 3] + scalar [T, npix] as the kernels'
     [T, 8, npix] row layout (rows 0-2 rgb, row 3 scalar, rows 4-7 zero)."""
@@ -538,16 +561,12 @@ def backward_tiles_pallas(
         # tile subset (parallel/shard.py), so this fast path is live under
         # sharding too.
         written = written_mask()
-        cols = [
-            jnp.where(written, pair_grads[:, j, :].reshape(-1), 0.0)
-            for j in range(9)
-        ]
-        sorted_ops = jax.lax.sort((idx, *cols), num_keys=1, is_stable=False)
-        # Cumsum each column FLAT: a [P, 9] array tiles to 128 lanes on TPU
-        # (14x pad), so a 2D cumsum's log-passes stream ~1 GB each; flat [P]
-        # columns scan dense. Only the final stack materializes [P, 9] once,
-        # for the row-gather at segment ends.
-        cum9 = jnp.stack([jnp.cumsum(c) for c in sorted_ops[1:]], axis=1)
+        rows9 = jnp.where(
+            written[:, None],
+            jnp.moveaxis(pair_grads[:, :9, :], 1, 2).reshape(p_pad, 9),
+            0.0,
+        )
+        _, cum9 = sorted_grad_cumsum(idx, rows9)
         ends = jnp.cumsum(gaussian_counts)
         at = jnp.maximum(ends - 1, 0)
         gathered = jnp.where((ends > 0)[:, None], cum9[at], 0.0)
@@ -588,11 +607,10 @@ def backward_tiles_pallas(
         )  # [cap_blk, 16, blk]
         ids_blk = idx.reshape(nblk_out, blk)[src_blk]  # [cap_blk, blk]
         ids_c = jnp.where(valid_slot[:, None], ids_blk, n).reshape(-1)
-        cols_c = [gblocks[:, j, :].reshape(-1) for j in range(9)]
-        sorted_c = jax.lax.sort((ids_c, *cols_c), num_keys=1, is_stable=False)
-        cum9 = jnp.stack([jnp.cumsum(c) for c in sorted_c[1:]], axis=1)
         c_total = cap_blk * blk
-        lastpos = jnp.full((feat.shape[0],), -1, i32).at[sorted_c[0]].max(
+        rows9 = jnp.moveaxis(gblocks[:, :9, :], 1, 2).reshape(c_total, 9)
+        sorted_ids, cum9 = sorted_grad_cumsum(ids_c, rows9)
+        lastpos = jnp.full((feat.shape[0],), -1, i32).at[sorted_ids].max(
             jnp.arange(c_total, dtype=i32), mode="drop"
         )
         prev_end = jnp.concatenate(

@@ -310,6 +310,10 @@ def _forward_impl(feat, order, w0s, w1s, width, height, cfg):
         bdone=jnp.zeros((k_max, num_tiles), _I32),
         dsnap=jnp.zeros((k_max, num_tiles), bool),
         gb=jnp.zeros((k_max + 1,), _I32),
+        # Slice 0's dense feature slab, kept as a residual: the loop runs
+        # ONE slice at production density, so the backward usually replays
+        # without any P-scale regather.
+        slab0=jnp.zeros((nblk_s, 16, align), _F32),
     )
 
     def cond(c):
@@ -412,6 +416,7 @@ def _forward_impl(feat, order, w0s, w1s, width, height, cfg):
             bdone=upd(c["bdone"], bdone),
             dsnap=upd(c["dsnap"], done),
             gb=jax.lax.dynamic_update_slice(c["gb"], g1[None], (k + 1,)),
+            slab0=jnp.where(k == 0, pair_feat, c["slab0"]),
         )
 
     out = jax.lax.while_loop(cond, body, state0)
@@ -431,6 +436,7 @@ def _fwd(feat, order, w0s, w1s, width, height, cfg):
     residuals = (
         feat, order, color, trans,
         out["k"], out["ids"], out["starts"], out["countc"], out["bdone"],
+        out["slab0"],
     )
     return (color, trans), residuals
 
@@ -440,10 +446,12 @@ def _bwd(width, height, cfg, residuals, cotangents):
 
     from gsplat_tpu.kernels.raster_bwd import (
         backward_tiles_carry, pack_tile_rows, reduction_basis,
+        sorted_grad_cumsum,
     )
     from gsplat_tpu.kernels.raster_fwd import build_pair_feat
 
-    (feat, order, color, trans, k_exec, ids, starts, countc, bdone) = residuals
+    (feat, order, color, trans, k_exec, ids, starts, countc, bdone,
+     slab0) = residuals
     g_color, g_trans = cotangents
     ts = cfg.tile_size
     ntxg, ntyg, num_tiles = _grid(width, height, ts)
@@ -467,10 +475,18 @@ def _bwd(width, height, cfg, residuals, cotangents):
 
     def run_bwd_kernel(k, carry):
         ids_k = ids[k]
-        # build_pair_feat's chunked path rounds its block count up to a
-        # gather-segment multiple; trim to the slice's own block count so
-        # the gradient slab lines up with the written mask.
-        pair_feat = build_pair_feat(feat32, ids_k, align)[:nblk_s]
+        # Slice 0's dense slab was saved by the forward (the loop runs ONE
+        # slice at production density, so this usually removes the whole
+        # P-scale regather); later slices regather from the stored
+        # original-id pairs. build_pair_feat's chunked path rounds its
+        # block count up to a gather-segment multiple; trim to the slice's
+        # own block count so the gradient slab lines up with the written
+        # mask.
+        pair_feat = jax.lax.cond(
+            k == 0,
+            lambda: slab0,
+            lambda: build_pair_feat(feat32, ids_k, align)[:nblk_s],
+        )
         pair_grads, carry = backward_tiles_carry(
             pair_feat, starts[k], countc[k], tile_ids, bdone[k],
             g_out, basis, carry, ntxg, cfg,
@@ -508,13 +524,13 @@ def _bwd(width, height, cfg, residuals, cotangents):
         delta = delta.at[starts[k]].add(1, mode="drop")
         delta = delta.at[starts[k] + bdone[k] * align].add(-1, mode="drop")
         written = jnp.cumsum(delta[:-1]) > 0
-        cols = [
-            jnp.where(written, pair_grads[:, j, :].reshape(-1), 0.0)
-            for j in range(9)
-        ]
-        sorted_c = jax.lax.sort((ids_k, *cols), num_keys=1, is_stable=False)
-        cum9 = jnp.stack([jnp.cumsum(c) for c in sorted_c[1:]], axis=1)
-        return carry, d_acc + reduce_sorted(sorted_c[0], cum9, s_store)
+        rows9 = jnp.where(
+            written[:, None],
+            jnp.moveaxis(pair_grads[:, :9, :], 1, 2).reshape(s_store, 9),
+            0.0,
+        )
+        sorted_ids, cum9 = sorted_grad_cumsum(ids_k, rows9)
+        return carry, d_acc + reduce_sorted(sorted_ids, cum9, s_store)
 
     d0 = jnp.zeros((n, 9), _F32)
     r_blk = cfg.reduce_pairs // align
@@ -567,10 +583,9 @@ def _bwd(width, height, cfg, residuals, cotangents):
             ids_c = jnp.where(
                 (slot_b < used)[:, None], cid, n
             ).reshape(-1)
-            cols = [cg[:, j, :].reshape(-1) for j in range(9)]
-            sorted_c = jax.lax.sort((ids_c, *cols), num_keys=1, is_stable=False)
-            cum9 = jnp.stack([jnp.cumsum(c) for c in sorted_c[1:]], axis=1)
-            return reduce_sorted(sorted_c[0], cum9, r_cap)
+            rows9 = jnp.moveaxis(cg[:, :9, :], 1, 2).reshape(r_cap, 9)
+            sorted_ids, cum9 = sorted_grad_cumsum(ids_c, rows9)
+            return reduce_sorted(sorted_ids, cum9, r_cap)
 
         def exact_replay():
             _, d = jax.lax.fori_loop(0, k_exec, slice_bwd, (carry, d0))
