@@ -225,3 +225,39 @@ def test_sliced_compact_cross_slice_reduction():
         o = np.asarray(getattr(g_o, name))
         assert np.abs(a - c).max() / max(np.abs(a).max(), 1e-8) < 5e-5, name
         np.testing.assert_array_equal(o, a, err_msg=name)
+
+
+def test_sliced_window_fallback_sparse_alive():
+    """Force the slice loop's full-N fallback branch: most gaussians are
+    culled (behind the camera), so a slice_pairs-wide window of the sorted
+    axis cannot supply a full slice and the exact full-N branch must run.
+    The image and gradients must still match the standard path."""
+    model, rng = _model(n=600, seed=11)
+    # Push ~90% of the gaussians behind the camera (frustum-culled) in an
+    # interleaved pattern — long empty runs on the depth-sorted axis.
+    means = np.asarray(model.means).copy()
+    dead = rng.uniform(size=600) < 0.9
+    means[dead, 2] = -5.0
+    model = GaussianModel(
+        means=jnp.asarray(means), log_scales=model.log_scales,
+        quats=model.quats, opacity_logits=model.opacity_logits, sh=model.sh,
+    )
+    cam = CameraArrays.from_params(make_camera())
+
+    img_ref, tr_ref = render_traced(model, cam, 64, 48, BASE)
+    cfg = dataclasses.replace(BASE, slice_pairs=64, pair_block=8)
+    img_s, tr_s = render_traced(model, cam, 64, 48, cfg)
+    np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_ref), atol=1e-6)
+
+    w_img = jnp.asarray(rng.normal(size=(48, 64, 3)).astype(np.float32))
+
+    def loss(m, c):
+        img, _ = render_traced(m, cam, 64, 48, c)
+        return jnp.sum(img * w_img)
+
+    g_ref = jax.grad(lambda m: loss(m, BASE))(model)
+    g_s = jax.grad(lambda m: loss(m, cfg))(model)
+    for name in ["means", "opacity_logits", "sh"]:
+        a = np.asarray(getattr(g_ref, name))
+        b = np.asarray(getattr(g_s, name))
+        assert np.abs(a - b).max() / max(np.abs(a).max(), 1e-8) < 5e-5, name
