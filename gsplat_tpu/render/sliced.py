@@ -29,6 +29,12 @@ scales with *composited* pairs instead:
      with a separable bilinear query (y_mask @ notdone2d · x_mask — two
      tiny MXU ops, no gathers), so late slices fill with pairs that can
      still matter.
+  5. The per-slice prologue itself (the cull query, the count cumsum, the
+     segment decode) runs on a dynamic ``slice_pairs``-id WINDOW of the
+     sorted axis — one slice consumes a contiguous run, and at production
+     densities a window that long supplies a full slice — with an exact
+     full-N branch under ``lax.cond`` whenever it cannot (late
+     heavily-culled slices, the final partial slice).
 
 N-scale cost discipline (round-4/5 probes on the v5e at 5M rows: a [N]
 i32 narrow gather by the depth permutation costs ~60 ms, a [N, 16] row
@@ -53,10 +59,12 @@ the transmittance products; the pair ORDER is identical). Overflow policy matche
 gaussians are dropped when demand exceeds the budget.
 
 The backward replays executed slices front-to-back (recompute design of
-kernels/raster_bwd.py), threading the walk-state carry, re-gathering each
-slice's feature blocks from the stored original-id pairs (64 B/pair,
-block-granular, the same ``build_pair_feat`` gather both kernels share)
-and reducing each slice's pair gradients with a sort-by-id + cumsum
+kernels/raster_bwd.py), threading the walk-state carry. Slice 0's dense
+feature slab is a forward residual (the loop runs ONE slice at production
+density, so the replay usually needs no P-scale regather at all); later
+slices regather from the stored original-id pairs (64 B/pair,
+block-granular, the same ``build_pair_feat`` gather both kernels share).
+Pair gradients reduce with a 2-operand sort-by-id + row-gathered cumsum
 segment reduction whose boundaries come from a per-id last-position
 scatter-max (slices partition the gaussians, so per-slice contributions
 are disjoint and sum exactly).
