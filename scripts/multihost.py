@@ -388,6 +388,27 @@ def launch_mode(args):
 
 def main():
     args = _flags()
+    if args.mode == "model":
+        # Fail fast when the tunneled device wedges at the PJRT claim
+        # (same guard as bench.py's _device_watchdog).
+        import threading
+
+        import numpy as np_
+
+        done = threading.Event()
+
+        def probe():
+            import jax
+            import jax.numpy as jnp
+
+            x = jax.jit(lambda a: a + 1.0)(jnp.ones((8, 128), jnp.float32))
+            np_.asarray(x.ravel()[:1])
+            done.set()
+
+        threading.Thread(target=probe, daemon=True).start()
+        if not done.wait(300.0):
+            print(json.dumps({"error": "device_unreachable"}), flush=True)
+            os._exit(3)
     if args.mode == "virtual":
         out = virtual_mode(args)
     elif args.mode == "model":
