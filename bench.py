@@ -52,11 +52,16 @@ def _enable_compile_cache() -> None:
         return
     import jax
 
-    cache_dir = os.environ.get(
+    # Scope the cache per backend: entries written by the tunneled-TPU
+    # processes include host-side CPU AOT blobs compiled for the REMOTE
+    # machine's CPU features — loading them in a local CPU run warns about
+    # machine-feature mismatches (potential SIGILL).
+    cache_root = os.environ.get(
         "GSPLAT_COMPILE_CACHE_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
     )
     try:
+        cache_dir = os.path.join(cache_root, jax.default_backend())
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
