@@ -280,27 +280,23 @@ def _bwd_kernel(
         carry_out_ref[0] = carry[0:2]
 
 
-def sorted_grad_cumsum(ids: jnp.ndarray, rows9: jnp.ndarray):
+def sorted_grad_cumsum(ids: jnp.ndarray, cols9):
     """Sort pair-gradient rows by gaussian id and return (sorted_ids,
     cum9 [P, 9]) — the inclusive per-column cumsum in sorted order that
     every segment reduction differences at segment ends.
 
-    Sorting (id, iota) with TWO operands and row-gathering the 9 gradient
-    columns by the permutation beats carrying them as sort value operands:
-    each extra i32/f32 sort operand costs ~8 ms per million rows on the
-    v5e, while one [P, 9] row gather costs ~19 ns/row — at 1M pairs that is
-    ~20 ms of sort traffic replaced by ~19 ms gather+sort total. The
-    permutation is unstable on equal ids; within-segment order only
-    reassociates the f32 cumsum (documented ~1e-5 relative tolerance).
+    ``cols9``: nine dense [P] f32 columns (extract them straight from the
+    [nblk, 16, blk] gradient-slab layout — a materialized [P, 9] row view
+    lane-pads 14x on TPU). Measured on the v5e at 1.45M and 2.8M rows: the
+    columns riding the sort as VALUE OPERANDS beats sorting (id, iota) and
+    row-gathering a [P, 9] view by the permutation by 3-33 ms — the
+    gather's padded output plus the transposes around its per-column
+    cumsums dominate. Flat per-column cumsums on sorted columns scan
+    dense.
     """
-    p = ids.shape[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0).squeeze(-1)
-    sorted_ids, perm = jax.lax.sort((ids, iota), num_keys=1, is_stable=False)
-    rows = rows9[perm]  # [P, 9] row gather
-    # Flat per-column cumsums ([P, 9] pads to 128 lanes on TPU — 14x scan
-    # traffic); transpose once, scan 9 dense rows, transpose back.
-    cum9 = jnp.cumsum(rows.T, axis=1).T
-    return sorted_ids, cum9
+    sorted_ops = jax.lax.sort((ids, *cols9), num_keys=1, is_stable=False)
+    cum9 = jnp.stack([jnp.cumsum(c) for c in sorted_ops[1:]], axis=1)
+    return sorted_ops[0], cum9
 
 
 def pack_tile_rows(rgb_tiles: jnp.ndarray, scalar_tiles: jnp.ndarray) -> jnp.ndarray:
@@ -561,12 +557,11 @@ def backward_tiles_pallas(
         # tile subset (parallel/shard.py), so this fast path is live under
         # sharding too.
         written = written_mask()
-        rows9 = jnp.where(
-            written[:, None],
-            jnp.moveaxis(pair_grads[:, :9, :], 1, 2).reshape(p_pad, 9),
-            0.0,
-        )
-        _, cum9 = sorted_grad_cumsum(idx, rows9)
+        cols = [
+            jnp.where(written, pair_grads[:, j, :].reshape(-1), 0.0)
+            for j in range(9)
+        ]
+        _, cum9 = sorted_grad_cumsum(idx, cols)
         ends = jnp.cumsum(gaussian_counts)
         at = jnp.maximum(ends - 1, 0)
         gathered = jnp.where((ends > 0)[:, None], cum9[at], 0.0)
@@ -608,8 +603,8 @@ def backward_tiles_pallas(
         ids_blk = idx.reshape(nblk_out, blk)[src_blk]  # [cap_blk, blk]
         ids_c = jnp.where(valid_slot[:, None], ids_blk, n).reshape(-1)
         c_total = cap_blk * blk
-        rows9 = jnp.moveaxis(gblocks[:, :9, :], 1, 2).reshape(c_total, 9)
-        sorted_ids, cum9 = sorted_grad_cumsum(ids_c, rows9)
+        cols = [gblocks[:, j, :].reshape(-1) for j in range(9)]
+        sorted_ids, cum9 = sorted_grad_cumsum(ids_c, cols)
         lastpos = jnp.full((feat.shape[0],), -1, i32).at[sorted_ids].max(
             jnp.arange(c_total, dtype=i32), mode="drop"
         )

@@ -227,6 +227,27 @@ def expand_segments(
     if window is None:
         window = 512 * n // max(num_slots, 1) + 256
     window = min(_round_up(window, 128), _round_up(n + 1, 128))
+
+    def scatter_all():
+        iota_n = jax.lax.broadcasted_iota(i32, (n, 1), 0).squeeze(-1)
+        # Keep out-of-bounds (dropped) indices unique too, so the
+        # unique_indices fast path's contract holds for every element.
+        starts = jnp.where(counts > 0, offsets, num_slots + iota_n)
+        m = jnp.zeros((num_slots,), i32).at[starts].max(
+            iota_n, mode="drop", unique_indices=True
+        )
+        gid = jax.lax.cummax(m)
+        return gid, offsets[gid], *(v.astype(i32)[gid] for v in values)
+
+    # Static strategy choice: the decode's fused reductions stream
+    # ~num_slots x window elements while the scatter costs ~4.7 ns x N
+    # regardless of the buffer. Measured crossover on the v5e (fwd+bwd
+    # step deltas): decode +13 ms at 1.45M slots x 640 window (N=1M,
+    # product 0.93 G), scatter +72 ms better at 2.8M slots x 512 (1.43 G).
+    # Past ~1024 ops per scatter-element the decode loses — use the
+    # scatter outright (no searchsorted, no window gathers).
+    if num_slots * window > 1024 * n:
+        return scatter_all()
     wrows = window // 128
     nrows = (n + 127) // 128 + wrows
     big = jnp.int32(2**31 - 1)
@@ -278,18 +299,7 @@ def expand_segments(
             *(select(v) for v in val2),
         )
 
-    def scatter_path():
-        iota_n = jax.lax.broadcasted_iota(i32, (n, 1), 0).squeeze(-1)
-        # Keep out-of-bounds (dropped) indices unique too, so the
-        # unique_indices fast path's contract holds for every element.
-        starts = jnp.where(counts > 0, offsets, num_slots + iota_n)
-        m = jnp.zeros((num_slots,), i32).at[starts].max(
-            iota_n, mode="drop", unique_indices=True
-        )
-        gid = jax.lax.cummax(m)
-        return gid, offsets[gid], *(v.astype(i32)[gid] for v in values)
-
-    return jax.lax.cond(overflow, scatter_path, window_path)
+    return jax.lax.cond(overflow, scatter_all, window_path)
 
 
 def bin_gaussians(

@@ -64,9 +64,10 @@ feature slab is a forward residual (the loop runs ONE slice at production
 density, so the replay usually needs no P-scale regather at all); later
 slices regather from the stored original-id pairs (64 B/pair,
 block-granular, the same ``build_pair_feat`` gather both kernels share).
-Pair gradients reduce with a 2-operand sort-by-id + row-gathered cumsum
-segment reduction whose boundaries come from a per-id last-position
-scatter-max (slices partition the gaussians, so per-slice contributions
+Pair gradients reduce with a sort-by-id + cumsum segment reduction (the
+nine gradient columns ride the sort as value operands — see
+kernels/raster_bwd.sorted_grad_cumsum) whose boundaries come from a
+per-id last-position scatter-max (slices partition the gaussians, so per-slice contributions
 are disjoint and sum exactly).
 """
 
@@ -532,12 +533,11 @@ def _bwd(width, height, cfg, residuals, cotangents):
         delta = delta.at[starts[k]].add(1, mode="drop")
         delta = delta.at[starts[k] + bdone[k] * align].add(-1, mode="drop")
         written = jnp.cumsum(delta[:-1]) > 0
-        rows9 = jnp.where(
-            written[:, None],
-            jnp.moveaxis(pair_grads[:, :9, :], 1, 2).reshape(s_store, 9),
-            0.0,
-        )
-        sorted_ids, cum9 = sorted_grad_cumsum(ids_k, rows9)
+        cols = [
+            jnp.where(written, pair_grads[:, j, :].reshape(-1), 0.0)
+            for j in range(9)
+        ]
+        sorted_ids, cum9 = sorted_grad_cumsum(ids_k, cols)
         return carry, d_acc + reduce_sorted(sorted_ids, cum9, s_store)
 
     d0 = jnp.zeros((n, 9), _F32)
@@ -591,8 +591,8 @@ def _bwd(width, height, cfg, residuals, cotangents):
             ids_c = jnp.where(
                 (slot_b < used)[:, None], cid, n
             ).reshape(-1)
-            rows9 = jnp.moveaxis(cg[:, :9, :], 1, 2).reshape(r_cap, 9)
-            sorted_ids, cum9 = sorted_grad_cumsum(ids_c, rows9)
+            cols = [cg[:, j, :].reshape(-1) for j in range(9)]
+            sorted_ids, cum9 = sorted_grad_cumsum(ids_c, cols)
             return reduce_sorted(sorted_ids, cum9, r_cap)
 
         def exact_replay():
